@@ -1,0 +1,314 @@
+"""COCO-caption input pipeline, TF-free.
+
+Reimplements the reference's data layer (``/root/reference/dataset.py:19-94,149-258``)
+without ``tf.data``: PIL-based decode in a thread pool, a shuffle-and-batch iterator
+with background prefetch, and the eval-side image/imageId iterators. Host code stays
+in numpy; normalization to [-1, 1] (MobileNetV2 preprocessing, ``dataset.py:24``)
+is fused here on the host since decode already touches every pixel.
+
+Key parity behaviors preserved:
+  * captions wrapped ``<start> ... <end>`` and empty (``' '``) captions filtered
+    (``dataset.py:49-51``);
+  * tokenizer fit on the *unspaced* captions, sequences computed on the
+    punctuation-spaced (``re.sub(r'([.,])', r" \\1 ", ...)``) captions — the
+    reference applies the regex only after fit (``dataset.py:73-76``);
+  * ``max_seq_len`` = longest tokenized caption, post-padding (``dataset.py:79-83``);
+  * ``set_len`` = ceil(num_captions / batch_size) (``dataset.py:78``).
+
+TPU-native additions: deterministic seeding, data-parallel sharding
+(``shard_count``/``shard_index``), batched validation iteration, and static-shape
+(drop-remainder) batching for XLA-friendly jit caching.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import queue
+import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from random import Random
+from typing import Iterator
+
+import numpy as np
+
+from ..config import Config
+from .coco import COCO
+from .tokenizer import (
+    REFERENCE_FILTERS,
+    Tokenizer,
+    load_tokenizer_from_path,
+    pad_sequences,
+    store_tokenizer_to_path,
+)
+
+__all__ = [
+    "load_image",
+    "get_coco_images_dataset",
+    "CocoCaptionDataset",
+    "COCO_Images_ImageID",
+    "store_additional_info",
+    "load_additional_info",
+    "calc_max_length",
+]
+
+
+def calc_max_length(tensor) -> int:
+    return max(len(t) for t in tensor)
+
+
+def load_image(img_path: str, caption=None, image_size: int = 512):
+    """Decode → RGB → resize to (size, size) bilinear → scale to [-1, 1].
+
+    Mirrors reference ``load_image`` (``dataset.py:19-26``: decode_jpeg,
+    ``tf.image.resize`` default bilinear, MobileNetV2 ``preprocess_input``).
+    """
+    from PIL import Image
+
+    with Image.open(img_path) as im:
+        im = im.convert("RGB")
+        if im.size != (image_size, image_size):
+            im = im.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.float32)
+    arr = arr / 127.5 - 1.0
+    return arr, caption
+
+
+class _Prefetcher:
+    """Background-thread prefetch queue (replaces tf.data's AUTOTUNE prefetch)."""
+
+    _END = object()
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # propagate into consumer
+                self._err = e
+            finally:
+                self._q.put(self._END)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class CocoCaptionDataset:
+    """Iterable of ``(images [B,S,S,3] f32, captions [B,L] i32)`` batches.
+
+    Equivalent of the reference's
+    ``from_tensor_slices → map(load_image) → shuffle(1000) → batch(10) → prefetch``
+    chain (``dataset.py:89-92``), rebuilt with a thread pool + prefetch thread.
+    """
+
+    def __init__(
+        self,
+        img_paths: list[str],
+        captions_token: np.ndarray,
+        batch_size: int,
+        image_size: int,
+        shuffle_buffer: int = 1000,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        shard_count: int = 1,
+        shard_index: int = 0,
+        num_workers: int = 16,
+    ):
+        assert len(img_paths) == len(captions_token)
+        if shard_count > 1:
+            img_paths = img_paths[shard_index::shard_count]
+            captions_token = captions_token[shard_index::shard_count]
+        self.img_paths = img_paths
+        self.captions_token = captions_token
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.img_paths)
+        return n // self.batch_size if self.drop_remainder else math.ceil(n / self.batch_size)
+
+    def _shuffled_order(self) -> list[int]:
+        """Buffered shuffle à la tf.data.shuffle(buffer): a sliding reservoir."""
+        rng = Random((self.seed, self._epoch).__hash__())
+        n = len(self.img_paths)
+        order, buf = [], []
+        for i in range(n):
+            buf.append(i)
+            if len(buf) > self.shuffle_buffer:
+                j = rng.randrange(len(buf))
+                order.append(buf.pop(j))
+        while buf:
+            order.append(buf.pop(rng.randrange(len(buf))))
+        return order
+
+    def __iter__(self):
+        order = self._shuffled_order()
+        self._epoch += 1
+
+        def gen():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for start in range(0, len(order), self.batch_size):
+                    idxs = order[start : start + self.batch_size]
+                    if self.drop_remainder and len(idxs) < self.batch_size:
+                        break
+                    imgs = list(
+                        pool.map(
+                            lambda i: load_image(
+                                self.img_paths[i], None, self.image_size
+                            )[0],
+                            idxs,
+                        )
+                    )
+                    caps = self.captions_token[idxs]
+                    yield np.stack(imgs), caps
+
+        return _Prefetcher(gen(), depth=2)
+
+
+def get_coco_images_dataset(
+    dataDir: str,
+    dataType: str,
+    n_test: int | None = None,
+    config: Config | None = None,
+):
+    """Build the training dataset. Returns ``(dataset, max_seq_len, set_len)``.
+
+    Parity port of reference ``get_coco_images_dataset`` (``dataset.py:29-94``).
+    """
+    cfg = config or Config()
+    annFile = f"{dataDir}/annotations/captions_{dataType}.json"
+    coco = COCO(annFile)
+
+    annIds = coco.getAnnIds()[:n_test] if n_test is not None else coco.getAnnIds()
+    anns = coco.loadAnns(annIds)
+    anns = [ann for ann in anns if ann["caption"] != " "]
+    captions = ["<start> " + ann["caption"] + " <end>" for ann in anns]
+    imgIds = [ann["image_id"] for ann in anns]
+
+    tokenizer_file = Path(cfg.tokenizer_filename)
+    if tokenizer_file.is_file():
+        tokenizer = load_tokenizer_from_path(tokenizer_file)
+        print("Tokenizer is loaded from", tokenizer_file)
+    else:
+        tokenizer = Tokenizer(
+            num_words=cfg.top_k, oov_token="unk", filters=REFERENCE_FILTERS
+        )
+        tokenizer.fit_on_texts(captions)
+        tokenizer.add_padding_token()
+        tokenizer_file.parent.mkdir(parents=True, exist_ok=True)
+        store_tokenizer_to_path(tokenizer, cfg.tokenizer_filename)
+
+    # punctuation spacing applied AFTER fit — reference quirk (dataset.py:73)
+    captions = [re.sub(r"([.,])", r" \1 ", caption) for caption in captions]
+    captions_token = tokenizer.texts_to_sequences(captions)
+
+    set_len = math.ceil(len(captions_token) / cfg.batch_size)
+    max_seq_len = max(map(len, captions_token))
+    captions_token = pad_sequences(captions_token, padding="post")
+
+    imgs = coco.loadImgs(imgIds)
+    img_paths = [
+        os.path.join(dataDir, "images", dataType, img["file_name"]) for img in imgs
+    ]
+
+    dataset = CocoCaptionDataset(
+        img_paths,
+        captions_token,
+        batch_size=cfg.batch_size,
+        image_size=cfg.image_input_size,
+        shuffle_buffer=cfg.buffer_size,
+        seed=cfg.seed,
+    )
+    return dataset, max_seq_len, set_len
+
+
+class COCO_Images_ImageID:
+    """Shuffled validation iterator yielding ``(img [S,S,3], imgId)`` one at a time,
+    truncated to ``n_val`` — parity port of reference ``COCO_Images_ImageID``
+    (``dataset.py:192-245``) plus a TPU-friendly ``iter_batches`` for batched decode.
+    """
+
+    def __init__(self, dataDir: str, dataType: str, n_val: int | None = None,
+                 image_size: int = 512, seed: int | None = None):
+        self.dataDir = dataDir
+        self.dataType = dataType
+        self.image_size = image_size
+        annFile = f"{dataDir}/annotations/captions_{dataType}.json"
+        self.coco = COCO(annFile)
+
+        anns = self.coco.loadAnns(self.coco.getAnnIds())
+        anns = [a for a in anns if a["caption"] != " "]
+        self.imgIds = [a["image_id"] for a in anns]
+        rng = Random(seed)
+        rng.shuffle(self.imgIds)
+
+        self.max_len = len(self.imgIds) if n_val is None else n_val
+        self.imgIds = self.imgIds if n_val is None else self.imgIds[:n_val]
+        self.iterIndex = 0
+
+    def _load(self, imgId):
+        img_path = os.path.join(
+            self.dataDir, "images", self.dataType,
+            self.coco.loadImgs(imgId)[0]["file_name"],
+        )
+        return load_image(img_path, None, self.image_size)[0]
+
+    def __iter__(self):
+        self.iterIndex = 0
+        return self
+
+    def __next__(self):
+        if self.iterIndex >= self.max_len or self.iterIndex >= len(self.imgIds):
+            raise StopIteration
+        imgId = self.imgIds[self.iterIndex]
+        self.iterIndex += 1
+        return self._load(imgId), imgId
+
+    def iter_batches(self, batch_size: int, num_workers: int = 16):
+        """Yield ``(imgs [B,S,S,3], imgIds list, valid count)`` — last batch padded
+        by repeating the final image so shapes stay static for XLA."""
+        ids = self.imgIds[: self.max_len]
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            for start in range(0, len(ids), batch_size):
+                chunk = ids[start : start + batch_size]
+                imgs = list(pool.map(self._load, chunk))
+                valid = len(chunk)
+                while len(imgs) < batch_size:
+                    imgs.append(imgs[-1])
+                yield np.stack(imgs), chunk, valid
+
+
+def store_additional_info(d: dict, filename: str) -> None:
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    with open(filename, "w") as outfile:
+        json.dump(d, outfile)
+
+
+def load_additional_info(filename: str) -> dict:
+    try:
+        with open(filename) as infile:
+            return json.load(infile)
+    except (OSError, json.JSONDecodeError):
+        return {}

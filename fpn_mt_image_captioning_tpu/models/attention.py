@@ -1,0 +1,123 @@
+"""Multi-head attention core.
+
+Functionally equivalent to the reference's ``scaled_dot_product_attention`` /
+``MultiHeadAttention`` (``/root/reference/models/transformer.py:70-155``), redesigned
+for TPU:
+
+  * einsum-based head-split attention (no explicit transposes — XLA picks the
+    layout and keeps the contractions on the MXU);
+  * softmax accumulated in float32 regardless of compute dtype (bfloat16-safe);
+  * a functional KV-cache interface (``project_kv`` + ``attend_cached``) so the
+    decode loop can run under ``lax.scan`` with an explicit cache carry, instead of
+    the reference's full-prefix re-forward per beam step
+    (``/root/reference/utils/pipeline.py:105-112``);
+  * an optional fused Pallas path for the hot multi-view encoder attention
+    (see ``ops/mva.py``), enabled when no attention-weights output is requested.
+
+Naming note: the reference's call convention is ``mha(v, k, q, mask)`` (v first —
+``transformer.py:131``). This framework uses the conventional ``(q, k, v)`` order;
+call sites are mapped accordingly and parity-tested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import he_normal
+
+__all__ = ["scaled_dot_product_attention", "MultiHeadAttention"]
+
+NEG_INF_SCALE = -1e9  # reference parity: logits += mask * -1e9 (transformer.py:95)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,  # (..., Lq, D)
+    k: jax.Array,  # (..., Lk, D)
+    v: jax.Array,  # (..., Lk, Dv)
+    mask: Optional[jax.Array] = None,  # broadcastable to (..., Lq, Lk); 1.0 = disallow
+):
+    """Reference-parity attention: returns (output, attention_weights)."""
+    dk = k.shape[-1]
+    logits = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(jnp.float32(dk)).astype(q.dtype)
+    if mask is not None:
+        logits = logits + (mask * NEG_INF_SCALE).astype(logits.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("...qk,...kd->...qd", weights, v)
+    return out, weights
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with separate q/k/v/out projections (he_normal init,
+    matching reference KERNEL_INITIALIZER — ``common/common_definitions.py:15``)."""
+
+    d_model: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_heads == 0
+        self.depth = self.d_model // self.num_heads
+        dense = lambda name: nn.Dense(
+            self.d_model,
+            kernel_init=he_normal(),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        self.wq = dense("wq")
+        self.wk = dense("wk")
+        self.wv = dense("wv")
+        self.dense = dense("out")
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, self.depth)
+
+    # -- full (training / teacher-forced) path ---------------------------------
+    def __call__(
+        self,
+        q: jax.Array,  # (B, Lq, d_model)
+        k: jax.Array,  # (B, Lk, d_model)
+        v: jax.Array,  # (B, Lk, d_model)
+        mask: Optional[jax.Array] = None,  # (B, 1|H, Lq|1, Lk)
+    ):
+        qh = self._split(self.wq(q))  # (B, Lq, H, D)
+        kh = self._split(self.wk(k))
+        vh = self._split(self.wv(v))
+
+        scale = jnp.asarray(1.0 / jnp.sqrt(self.depth), qh.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+        if mask is not None:
+            logits = logits + (mask * NEG_INF_SCALE).astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
+        ctx = ctx.reshape(q.shape[0], q.shape[1], self.d_model)
+        return self.dense(ctx), weights
+
+    # -- KV-cache decode path ---------------------------------------------------
+    def project_kv(self, x: jax.Array):
+        """Project keys/values once — used to prefill self/cross caches.
+        Returns (k, v) of shape (B, L, H, D)."""
+        return self._split(self.wk(x)), self._split(self.wv(x))
+
+    def attend_cached(
+        self,
+        q: jax.Array,          # (B, Lq, d_model) — Lq is 1 at decode time
+        k_cache: jax.Array,    # (B, Lmax, H, D)
+        v_cache: jax.Array,    # (B, Lmax, H, D)
+        mask: Optional[jax.Array] = None,  # (B, 1|H, Lq|1, Lmax); 1.0 = disallow
+    ) -> jax.Array:
+        qh = self._split(self.wq(q))
+        scale = jnp.asarray(1.0 / jnp.sqrt(self.depth), qh.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache) * scale
+        if mask is not None:
+            logits = logits + (mask * NEG_INF_SCALE).astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v_cache)
+        ctx = ctx.reshape(q.shape[0], q.shape[1], self.d_model)
+        return self.dense(ctx)

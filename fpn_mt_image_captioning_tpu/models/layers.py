@@ -1,0 +1,95 @@
+"""Shared layer utilities: initializers, activations, conv blocks, upsampling.
+
+TPU-native equivalents of the reference's scattered layer helpers:
+  * ``upsample_like`` — nearest-neighbor resize of a source map to a target's H×W
+    (reference ``layers/_misc.py:20-48`` ``UpsampleLike``), used by the FPN top-down
+    path. Implemented as a pure reshape/broadcast when the scale factor is integral
+    (the only case on the live path — XLA fuses it for free), falling back to
+    ``jax.image.resize`` otherwise.
+  * ``prior_probability_bias`` — focal-loss bias init ``-log((1-p)/p)``
+    (reference ``initializers.py:23-39``).
+  * ``leaky_relu`` with TF's default slope 0.2 (reference ACTIVATION,
+    ``common/common_definitions.py:14``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "resolve_activation",
+    "resolve_kernel_init",
+    "he_normal",
+    "random_normal_init",
+    "prior_probability_bias",
+    "upsample_like",
+    "max_pool_2x",
+]
+
+
+def he_normal():
+    # Keras he_normal == truncated normal, stddev = sqrt(2 / fan_in)
+    return nn.initializers.he_normal()
+
+
+def random_normal_init(stddev: float = 0.01):
+    return nn.initializers.normal(stddev=stddev)
+
+
+def prior_probability_bias(probability: float = 0.01) -> Callable:
+    """RetinaNet focal-loss classification bias initializer (reference
+    ``initializers.py:35-39``): ``bias = -log((1 - p) / p)``."""
+    value = -math.log((1.0 - probability) / probability)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+def resolve_activation(name: str, leaky_alpha: float = 0.2) -> Callable:
+    if name == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=leaky_alpha)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "relu6":
+        return jax.nn.relu6
+    if name == "gelu":
+        return jax.nn.gelu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def resolve_kernel_init(name: str) -> Callable:
+    if name == "he_normal":
+        return he_normal()
+    if name == "glorot_uniform":
+        return nn.initializers.glorot_uniform()
+    raise ValueError(f"unknown initializer {name!r}")
+
+
+def upsample_like(source: jax.Array, target_hw: tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize of NHWC ``source`` to ``target_hw``.
+
+    For integral upsampling factors (always true in the FPN: 8→16, 16→32, ...)
+    this is a broadcast + reshape, which XLA lowers to a cheap copy; otherwise
+    falls back to ``jax.image.resize('nearest')``.
+    """
+    b, h, w, c = source.shape
+    th, tw = target_hw
+    if th % h == 0 and tw % w == 0:
+        fh, fw = th // h, tw // w
+        out = jnp.broadcast_to(
+            source[:, :, None, :, None, :], (b, h, fh, w, fw, c)
+        )
+        return out.reshape(b, th, tw, c)
+    return jax.image.resize(source, (b, th, tw, c), method="nearest")
+
+
+def max_pool_2x(x: jax.Array) -> jax.Array:
+    """2×2/stride-2 max pool, VALID padding (Keras MaxPooling2D default)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")

@@ -1,0 +1,39 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before the first ``import jax`` anywhere in the test process: the axon
+TPU plugin registers itself via sitecustomize when ``PALLAS_AXON_POOL_IPS`` is set,
+so we clear it and pin ``JAX_PLATFORMS=cpu`` with 8 virtual host devices (the
+standard JAX way to test pjit/shardings without real chips — SURVEY.md §4).
+"""
+
+import os
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU plugin at
+# interpreter startup — before this conftest runs — so jax may already be imported
+# with platforms "axon,cpu". Re-pin the platform at the config level; this works as
+# long as no backend has been initialized yet (no jax.devices() call).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture()
+def np_rng():
+    return np.random.default_rng(0)
