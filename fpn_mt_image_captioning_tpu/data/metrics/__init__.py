@@ -1,0 +1,100 @@
+"""Caption evaluation: MetricEval facade + the individual scorers.
+
+API-parity replacement for the reference's ``MetricEval``
+(``/root/reference/dataset.py:260-324``), which wraps pycocotools +
+pycocoevalcap (Java-backed). Here the full metric suite — BLEU-1..4, METEOR,
+ROUGE-L, CIDEr-D — is computed by the pure-Python scorers in this package;
+``__call__`` returns the CIDEr value (the checkpoint-gating metric) and leaves
+the complete results in ``.eval``, mirroring ``COCOEvalCap.eval``.
+"""
+
+from __future__ import annotations
+
+from ..coco import COCO
+from .bleu import corpus_bleu
+from .cider import CiderScorer, cider_d
+from .meteor import meteor
+from .ptb import ptb_tokenize, tokenize_corpus
+from .rouge import rouge_l
+
+__all__ = [
+    "MetricEval",
+    "COCOEvalCap",
+    "corpus_bleu",
+    "cider_d",
+    "CiderScorer",
+    "meteor",
+    "rouge_l",
+    "ptb_tokenize",
+    "tokenize_corpus",
+]
+
+
+class COCOEvalCap:
+    """Scores a result COCO against a ground-truth COCO (pycocoevalcap surface)."""
+
+    def __init__(self, coco: COCO, cocoRes: COCO):
+        self.coco = coco
+        self.cocoRes = cocoRes
+        self.params = {"image_id": coco.getImgIds()}
+        self.eval: dict[str, float] = {}
+        self.imgToEval: dict[int, dict[str, float]] = {}
+
+    def evaluate(self) -> None:
+        img_ids = self.params["image_id"]
+        gts = {
+            i: [a["caption"] for a in self.coco.img_to_anns[i]]
+            for i in img_ids
+            if self.coco.img_to_anns.get(i)
+        }
+        res = {
+            i: [a["caption"] for a in self.cocoRes.img_to_anns[i]]
+            for i in img_ids
+            if self.cocoRes.img_to_anns.get(i)
+        }
+        # only score images present in both
+        common = [i for i in gts if i in res]
+        gts = {i: gts[i] for i in common}
+        res = {i: res[i] for i in common}
+
+        refs = tokenize_corpus(gts)
+        hyps = tokenize_corpus(res)
+
+        bleu_scores = corpus_bleu(hyps, refs)
+        cider_corpus, cider_per_img = CiderScorer().compute(hyps, refs)
+        self.eval = {
+            "Bleu_1": bleu_scores[0],
+            "Bleu_2": bleu_scores[1],
+            "Bleu_3": bleu_scores[2],
+            "Bleu_4": bleu_scores[3],
+            "METEOR": meteor(hyps, refs),
+            "ROUGE_L": rouge_l(hyps, refs),
+            "CIDEr": cider_corpus,
+        }
+        self.imgToEval = {i: {"CIDEr": v} for i, v in cider_per_img.items()}
+
+
+class MetricEval:
+    """Reference-parity facade (``dataset.py:260-324``)."""
+
+    def __init__(self, dataDir: str, dataType: str):
+        self.dataDir = dataDir
+        self.dataType = dataType
+        annFile = f"{dataDir}/annotations/captions_{dataType}.json"
+        self.coco = COCO(annFile)
+        self.eval: dict[str, float] = {}
+
+    def __call__(self, resFile) -> float:
+        cocoRes = self.coco.loadRes(resFile)
+        cocoEval = COCOEvalCap(self.coco, cocoRes)
+        cocoEval.params["image_id"] = cocoRes.getImgIds()
+        cocoEval.evaluate()
+        self.eval = cocoEval.eval
+        return cocoEval.eval["CIDEr"]
+
+    def print_result(self, imgId: int, resFile) -> None:
+        cocoRes = self.coco.loadRes(resFile)
+        print("ground truth captions")
+        self.coco.showAnns(self.coco.loadAnns(self.coco.getAnnIds(imgIds=imgId)))
+        print("\ngenerated caption")
+        self.coco.showAnns(cocoRes.loadAnns(cocoRes.getAnnIds(imgIds=imgId)))

@@ -1,0 +1,191 @@
+"""Batched KV-cached beam search and greedy decoding.
+
+The reference decodes ONE image at a time with a Python-loop beam search that
+re-forwards the whole growing prefix every step with no KV cache
+(``/root/reference/utils/pipeline.py:82-154``). This engine is the TPU-native
+redesign: a single compiled ``lax.while_loop`` advances all ``batch × beam``
+hypotheses one token per step through the cached decoder (O(1) work per step),
+stopping as soon as the termination condition holds.
+
+Two scoring modes:
+
+* **fast (default)** — correct log-space beam search: beams start as
+  ``[0, -inf, ...]`` so the first expansion diversifies from a single hypothesis;
+  finished beams are frozen (forced pad continuation at zero added score); the
+  loop stops when *all* beams of all batch items are finished.
+
+* **parity** — reproduces the reference's quirks exactly (SURVEY.md §2 C23): all
+  beams initialize with equal scores from identical states, so the first top-k
+  tie-breaks beam-major and every beam picks the same token — the search
+  degenerates to greedy, which is what the reference actually computes; the loop
+  stops when the current *best* beam emits ``<end>``. (The reference scores by
+  cumulative raw-probability product; product-of-probs ordering equals
+  sum-of-log-probs ordering, so log-space accumulation reproduces its selection
+  without the underflow.)
+
+Termination/stripping semantics match the reference (``pipeline.py:143-154``):
+the returned best sequence drops the leading ``<start>`` and, if the beam ended
+with ``<end>``, that trailing token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.transformer import Transformer
+
+__all__ = ["beam_search", "greedy_decode", "strip_sequence"]
+
+NEG_INF = -1.0e9
+
+
+def _gather_beams(tree: Any, beam_indices: jax.Array, batch: int, beam: int) -> Any:
+    """Reorder the leading (batch*beam) axis of every leaf by per-batch beam index."""
+    flat = (jnp.arange(batch)[:, None] * beam + beam_indices).reshape(-1)
+
+    def gather(x):
+        return jnp.take(x, flat, axis=0)
+
+    return jax.tree.map(gather, tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "beam_n", "max_len", "start_token", "end_token", "parity"
+    ),
+)
+def beam_search(
+    model: Transformer,
+    variables: Any,
+    enc_output: jax.Array,     # (B, Lenc, d_model)
+    *,
+    beam_n: int,
+    max_len: int,              # maximum generated tokens (incl. <end>), == max_seq_len
+    start_token: int,
+    end_token: int,
+    parity: bool = False,
+):
+    """Returns ``(sequences (B, max_len) int32, lengths (B,) int32, scores (B,))``.
+
+    ``sequences`` hold the best beam per batch item with <start>/<end> already
+    stripped (pad-0 beyond ``lengths``).
+    """
+    batch = enc_output.shape[0]
+    bk = batch * beam_n
+
+    # tile encoder output beam-major: (B, L, D) → (B*K, L, D)
+    enc_tiled = jnp.repeat(enc_output, beam_n, axis=0)
+    cache = model.apply(variables, enc_tiled, max_len + 1, method=Transformer.init_cache)
+
+    if parity:
+        init_scores = jnp.zeros((batch, beam_n), jnp.float32)
+    else:
+        init_scores = jnp.full((batch, beam_n), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+
+    seqs = jnp.zeros((batch, beam_n, max_len), jnp.int32)
+    tokens = jnp.full((bk,), start_token, jnp.int32)
+    finished = jnp.zeros((batch, beam_n), jnp.bool_)
+
+    def cond(carry):
+        t, _, _, _, _, finished = carry
+        if parity:
+            # reference: stop when the current-best beam has emitted <end>
+            # (beams are kept score-sorted by top_k → beam 0 is best)
+            all_done = jnp.all(finished[:, 0])
+        else:
+            all_done = jnp.all(finished)
+        return jnp.logical_and(t < max_len, jnp.logical_not(all_done))
+
+    def body(carry):
+        t, tokens, scores, cache, seqs, finished = carry
+        logits, new_cache = model.apply(
+            variables, tokens, t, cache, method=Transformer.decode_step
+        )
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        vocab = log_probs.shape[-1]
+        log_probs = log_probs.reshape(batch, beam_n, vocab)
+
+        # freeze finished beams: only pad (id 0) continues, at zero added score
+        pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[0].set(0.0)
+        log_probs = jnp.where(finished[..., None], pad_row[None, None, :], log_probs)
+
+        total = scores[..., None] + log_probs                      # (B, K, V)
+        flat = total.reshape(batch, beam_n * vocab)
+        new_scores, flat_idx = jax.lax.top_k(flat, beam_n)         # ties → lowest index
+        beam_idx = flat_idx // vocab                               # (B, K)
+        new_tokens = (flat_idx % vocab).astype(jnp.int32)          # (B, K)
+
+        # reorder state by chosen parent beams
+        sel_cache = _gather_beams(
+            [{"k_self": c["k_self"], "v_self": c["v_self"]} for c in new_cache],
+            beam_idx, batch, beam_n,
+        )
+        new_cache = [
+            {"k_self": s["k_self"], "v_self": s["v_self"],
+             "k_cross": c["k_cross"], "v_cross": c["v_cross"]}
+            for s, c in zip(sel_cache, new_cache)
+        ]
+        seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
+        seqs = jax.lax.dynamic_update_slice(
+            seqs, new_tokens[..., None], (0, 0, t)
+        )
+        was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        finished = jnp.logical_or(was_finished, new_tokens == end_token)
+
+        return (t + 1, new_tokens.reshape(-1), new_scores, new_cache, seqs, finished)
+
+    carry = (jnp.int32(0), tokens, init_scores, cache, seqs, finished)
+    t, tokens, scores, cache, seqs, finished = jax.lax.while_loop(cond, body, carry)
+
+    # best beam per batch item (top_k keeps beams score-sorted → index 0)
+    best_seq = seqs[:, 0, :]           # (B, max_len) — includes <end> if emitted
+    best_score = scores[:, 0]
+
+    # strip trailing <end> (replace with pad) and compute lengths
+    is_end = best_seq == end_token
+    ended = jnp.any(is_end, axis=1)
+    end_pos = jnp.argmax(is_end, axis=1)
+    idx = jnp.arange(best_seq.shape[1])[None, :]
+    keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
+    stripped = jnp.where(keep, best_seq, 0)
+    lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
+    return stripped, lengths, best_score
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "max_len", "start_token", "end_token")
+)
+def greedy_decode(
+    model: Transformer,
+    variables: Any,
+    enc_output: jax.Array,
+    *,
+    max_len: int,
+    start_token: int,
+    end_token: int,
+):
+    """Greedy argmax decode — (B, max_len) stripped sequences + lengths."""
+    seqs, lengths, _ = beam_search(
+        model, variables, enc_output,
+        beam_n=1, max_len=max_len,
+        start_token=start_token, end_token=end_token, parity=False,
+    )
+    return seqs, lengths
+
+
+def strip_sequence(tokens, end_token: int) -> list[int]:
+    """Host-side helper mirroring the reference's return contract
+    (``pipeline.py:143-154``): assumes tokens exclude <start>; cut at <end>."""
+    out = []
+    for t in list(tokens):
+        t = int(t)
+        if t == end_token:
+            break
+        if t != 0:
+            out.append(t)
+    return out

@@ -1,0 +1,99 @@
+"""Checkpointing: Orbax-backed manager + CIDEr-gated smart saver / early stop.
+
+Replaces the reference's ``tf.train.Checkpoint`` / ``CheckpointManager`` pair
+(``/root/reference/utils/pipeline.py:38-48``) with Orbax (``max_to_keep=100``
+kept), and ports ``SmartCheckpointSaver``'s exact state machine
+(``/root/reference/utils/utils.py:120-154``):
+
+  * save only when validation accuracy (CIDEr) improves;
+  * while ``epoch <= min_epoch_to_break`` a non-improving epoch *resets* the
+    baseline instead of counting against it;
+  * signal early stop (-1) once
+    ``min(epochs, max(min_epoch_to_break, 2·best_epoch), best_epoch + gap)``
+    ≤ current epoch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager", "SmartCheckpointSaver"]
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper storing the full train state pytree."""
+
+    def __init__(self, directory: str, max_to_keep: int = 100):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    @property
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template: Any, step: int | None = None) -> Any:
+        step = self.latest_step if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def close(self):
+        self._mgr.close()
+
+
+class SmartCheckpointSaver:
+    """CIDEr-gated checkpoint/early-stop state machine (reference parity)."""
+
+    def __init__(self, ckpt_manager, epochs: int = 100,
+                 min_epoch_to_break: int | None = None, gap_of_dead_epoch: int = 25):
+        self.ckpt_manager = ckpt_manager
+        self.epochs = epochs
+        self.min_epoch_to_break = (
+            epochs // 2 if min_epoch_to_break is None else min_epoch_to_break
+        )
+        self.gap_of_dead_epoch = gap_of_dead_epoch
+        self.max_val_acc = -np.inf
+        self.max_acc_epoch = 0
+
+    def __call__(self, curr_epoch: int, curr_val_acc: float, state: Any = None) -> int:
+        """Returns 1 = checkpoint saved, 0 = nothing, -1 = early-stop signal."""
+        if self.max_acc_epoch == 0:
+            self.max_val_acc = curr_val_acc
+            self.max_acc_epoch = curr_epoch
+
+        if curr_val_acc > self.max_val_acc:
+            if state is not None:
+                self.ckpt_manager.save(curr_epoch, state)
+                print(f"Saving checkpoint for epoch {curr_epoch} at {self.ckpt_manager.directory}")
+            self.max_val_acc = curr_val_acc
+            self.max_acc_epoch = curr_epoch
+            return 1
+        elif curr_epoch <= self.min_epoch_to_break:
+            # early epochs: reset the baseline rather than counting toward death
+            self.max_val_acc = curr_val_acc
+            self.max_acc_epoch = curr_epoch
+        else:
+            epoch_min = min(
+                self.epochs,
+                max(self.min_epoch_to_break, int(self.max_acc_epoch * 2.0)),
+                int(self.max_acc_epoch + self.gap_of_dead_epoch),
+            )
+            if epoch_min <= curr_epoch:
+                return -1
+        return 0

@@ -1,0 +1,116 @@
+"""Beam-search engine tests: greedy equivalence, naive-reference beam parity,
+degenerate parity mode (SURVEY.md §2 C23)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search, greedy_decode
+from fpn_mt_image_captioning_tpu.models.positional import create_look_ahead_mask
+from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+
+VOCAB = 23
+START, END = 2, 3
+MAX_LEN = 7
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    key = jax.random.PRNGKey(1)
+    model = Transformer(
+        num_layers=2, d_model=16, num_heads=2, dff=32,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=MAX_LEN + 1,
+    )
+    enc_output = jax.random.normal(key, (2, 4, 16))
+    tar = jnp.ones((2, 4), dtype=jnp.int32)
+    variables = model.init(
+        {"params": key, "dropout": key}, enc_output, tar, False, None
+    )
+    return model, variables, enc_output
+
+
+def full_logits(model, variables, enc_output, prefix):
+    """Teacher-forced forward over the whole prefix (the reference's decode style,
+    utils/pipeline.py:105-112) — returns last-position logits."""
+    tar = jnp.asarray(prefix, jnp.int32)
+    mask = create_look_ahead_mask(tar.shape[1])[None, None]
+    logits, _ = model.apply(variables, enc_output, tar, False, mask)
+    return np.asarray(logits[:, -1, :], np.float64)
+
+
+def naive_beam(model, variables, enc_output_1, beam_n, max_len):
+    """Log-space beam search via full re-forward, for one batch item."""
+    beams = [([START], 0.0, False)]
+    for _ in range(max_len):
+        if all(b[2] for b in beams):
+            break
+        candidates = []
+        for seq, score, fin in beams:
+            if fin:
+                candidates.append((seq + [0], score, True))
+                continue
+            logits = full_logits(
+                model, variables, enc_output_1, np.array([seq])
+            )[0]
+            logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+            for tok in range(VOCAB):
+                candidates.append(
+                    (seq + [tok], score + logp[tok], tok == END)
+                )
+        candidates.sort(key=lambda c: -c[1])
+        beams = candidates[:beam_n]
+    return beams
+
+
+def test_greedy_matches_manual(small_model):
+    model, variables, enc = small_model
+    seqs, lengths = greedy_decode(
+        model, variables, enc, max_len=MAX_LEN, start_token=START, end_token=END
+    )
+    for b in range(enc.shape[0]):
+        prefix = [START]
+        for _ in range(MAX_LEN):
+            logits = full_logits(model, variables, enc[b : b + 1], np.array([prefix]))
+            tok = int(np.argmax(logits[0]))
+            if tok == END:
+                break
+            prefix.append(tok)
+        expected = prefix[1:]
+        got = [int(x) for x in seqs[b][: lengths[b]]]
+        assert got == expected, (b, got, expected)
+
+
+def test_beam_matches_naive_reference(small_model):
+    model, variables, enc = small_model
+    K = 3
+    seqs, lengths, scores = beam_search(
+        model, variables, enc,
+        beam_n=K, max_len=MAX_LEN, start_token=START, end_token=END,
+    )
+    for b in range(enc.shape[0]):
+        beams = naive_beam(model, variables, enc[b : b + 1], K, MAX_LEN)
+        best_seq, best_score, _fin = beams[0]
+        # strip start and trailing end/pads
+        expected = [t for t in best_seq[1:] if t not in (0, END)]
+        # naive list may include tokens after END from the pad-continuation: cut at END
+        if END in best_seq:
+            expected = best_seq[1 : best_seq.index(END)]
+        got = [int(x) for x in seqs[b][: lengths[b]]]
+        assert got == expected, (b, got, expected)
+        np.testing.assert_allclose(float(scores[b]), best_score, atol=1e-3)
+
+
+def test_parity_mode_is_degenerate_greedy(small_model):
+    """All beams tie-break to the same token every step — the reference's
+    duplicate-beam quirk means beam=K equals greedy."""
+    model, variables, enc = small_model
+    parity_seqs, parity_len, _ = beam_search(
+        model, variables, enc,
+        beam_n=4, max_len=MAX_LEN, start_token=START, end_token=END, parity=True,
+    )
+    greedy_seqs, greedy_len = greedy_decode(
+        model, variables, enc, max_len=MAX_LEN, start_token=START, end_token=END
+    )
+    np.testing.assert_array_equal(parity_seqs, greedy_seqs)
+    np.testing.assert_array_equal(parity_len, greedy_len)
