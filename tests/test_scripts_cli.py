@@ -1,0 +1,112 @@
+"""CLI parity-surface tests: drive train.py / test.py / show_results.py /
+convert_dataset.py as subprocesses on synthetic data (reference L7 surface)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from fixtures import make_synthetic_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(script, args, cwd):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_synthetic_dataset(str(root / "data"), n_train=4, n_val=2, image_size=256)
+    return root
+
+
+COMMON = [
+    "--image_input_size=256", "--num_layers=1", "--d_model=32", "--dff=64",
+    "--num_heads=4", "--batch_size=2", "--beam_search_n=2", "--epochs=2",
+    "--n_val_dataset=2", "--compute_dtype=float32", "--decode_batch=2",
+    "--datadir=data",
+]
+
+
+@pytest.mark.slow
+def test_train_test_show_results_flow(workspace):
+    r = run_script("train.py", COMMON, cwd=workspace)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # artifacts the reference contract promises
+    assert (workspace / "datasets/_tokenizer.json").exists()
+    info = json.load(open(workspace / "datasets/_additional_extractor.json"))
+    assert "max_seq_len" in info
+    results = json.load(open(workspace / "results/val2017_captions_result.json"))
+    assert len(results) == 2 and {"image_id", "caption"} <= set(results[0])
+    assert (workspace / "model_weights/multimodal_transformer.msgpack").exists()
+    # TensorBoard event files written
+    logs = list((workspace / "logs/transformer").rglob("events.out.tfevents.*"))
+    assert logs, "no event files"
+
+    # single-image inference reusing the checkpoint
+    img = next((workspace / "data/images/val2017").glob("*.png"))
+    r2 = run_script("test.py", [f"--image={img}", *COMMON], cwd=workspace)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out = json.load(open(workspace / f"results/{img.stem}_captions_result.json"))
+    assert out[0]["image_id"] == 0 and isinstance(out[0]["caption"], str)
+
+    r3 = run_script("show_results.py", COMMON, cwd=workspace)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "generated caption" in r3.stdout
+
+
+def test_convert_dataset_cli(tmp_path):
+    from fixtures import make_iuxray_raw
+
+    xml_dir, img_root = make_iuxray_raw(str(tmp_path / "raw"), n_reports=3)
+    r = run_script(
+        "convert_dataset.py",
+        [f"--xml_dir={xml_dir}", f"--image_dir={img_root}",
+         "--amount_of_validation=1", "--datadir=coco"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    ann = json.load(open(tmp_path / "coco/annotations/captions_train2017.json"))
+    assert len(ann["images"]) == 4  # 2 reports × 2 parent images
+
+
+def test_tensorboard_event_file_roundtrip(tmp_path):
+    """Validate the hand-rolled TFRecord/Event encoding by re-parsing it."""
+    import struct
+
+    from fpn_mt_image_captioning_tpu.utils.tensorboard import SummaryWriter, _masked_crc
+
+    w = SummaryWriter(str(tmp_path))
+    w.scalar("loss", 1.5, step=3)
+    w.close()
+    [f] = list(tmp_path.glob("events.out.tfevents.*"))
+    data = f.read_bytes()
+    records = []
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        header = data[off : off + 8]
+        (crc_h,) = struct.unpack_from("<I", data, off + 8)
+        assert crc_h == _masked_crc(header)
+        payload = data[off + 12 : off + 12 + length]
+        (crc_p,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert crc_p == _masked_crc(payload)
+        records.append(payload)
+        off += 12 + length + 4
+    assert len(records) == 2
+    assert b"brain.Event:2" in records[0]
+    assert b"loss" in records[1]
+    # float 1.5 little-endian inside the scalar summary
+    assert struct.pack("<f", 1.5) in records[1]

@@ -1,0 +1,123 @@
+"""Training entry point — parity surface for the reference's ``train.py``.
+
+Behavior port of ``/root/reference/train.py``: builds the val iterator and train
+dataset, constructs the Pipeline (auto-restoring the latest checkpoint), runs the
+epoch loop with per-epoch evaluation → results JSON → CIDEr → smart-checkpoint /
+early-stop, persists ``max_seq_len`` and the best epoch in the additional-info
+JSON sidecar, logs ``loss``/``CIDEr`` scalars to TensorBoard event files, and
+finally restores the best checkpoint and exports weights.
+
+Config defaults match the reference constants; override any field on the CLI:
+
+    python train.py --datadir=datasets/iuxray --batch_size=32 --epochs=100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+from fpn_mt_image_captioning_tpu.config import Config
+from fpn_mt_image_captioning_tpu.data.dataset import (
+    COCO_Images_ImageID,
+    get_coco_images_dataset,
+    load_additional_info,
+    store_additional_info,
+)
+from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+from fpn_mt_image_captioning_tpu.utils.tensorboard import ScalarLogger, SummaryWriter
+
+
+def main(cfg: Config) -> None:
+    val_datasets = COCO_Images_ImageID(
+        cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
+        image_size=cfg.image_input_size,
+    )
+    additional_info = load_additional_info(cfg.additional_filename)
+    key_epoch = "mt_epoch_" + os.path.basename(cfg.transformer_checkpoint_path)
+
+    if cfg.is_training:
+        train_datasets, max_seq_len, train_set_len = get_coco_images_dataset(
+            cfg.datadir, cfg.datatype_train, cfg.n_train_dataset, config=cfg
+        )
+        master = Pipeline(
+            cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
+        )
+
+        additional_info["max_seq_len"] = max_seq_len
+        store_additional_info(additional_info, cfg.additional_filename)
+
+        current_time = datetime.now().strftime("%Y%m%d-%H%M%S")
+        log_dir = f"logs/transformer/{current_time}/train"
+        writer = SummaryWriter(log_dir)
+        jsonl = ScalarLogger(os.path.join(log_dir, "scalars.jsonl"))
+
+        start_epoch = 0
+        if master.ckpt_manager.latest_step is not None:
+            start_epoch = additional_info.get(
+                key_epoch, additional_info.get("transformer_epoch", 0)
+            )
+
+        try:
+            from tqdm import tqdm
+        except ImportError:  # tqdm optional
+            tqdm = lambda x, **k: x
+
+        for epoch in range(start_epoch, cfg.epochs):
+            print(f"Epoch {epoch + 1} / {cfg.epochs}")
+            epoch_losses = []
+            bar = tqdm(train_datasets, total=train_set_len)
+            for img, caption_token in bar:
+                loss = master.train_step(img, caption_token)
+                epoch_losses.append(loss)
+                if hasattr(bar, "set_postfix"):
+                    bar.set_postfix(loss=f"{loss:.4f}")
+
+            mean_loss = sum(epoch_losses) / max(len(epoch_losses), 1)
+            writer.scalar("loss", mean_loss, epoch)
+            jsonl.scalar("loss", mean_loss, epoch)
+
+            if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
+                print("Evaluating...")
+                results = master.evaluate(iter(val_datasets))
+                os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
+                with open(cfg.result_file, "w") as outfile:
+                    json.dump(results, outfile)
+
+                if results:
+                    cider = master.metric_eval(cfg.result_file)
+                    writer.scalar("CIDEr", cider, epoch)
+                    jsonl.scalar("CIDEr", cider, epoch)
+                    should_break = master.smart_ckpt_saver(epoch + 1, cider, master.state)
+                    if should_break == -1:
+                        break
+                    elif should_break == 1:
+                        additional_info[key_epoch] = master.smart_ckpt_saver.max_acc_epoch
+                        store_additional_info(additional_info, cfg.additional_filename)
+            print()
+
+        print(f"Saving Transformer weights for epoch {master.smart_ckpt_saver.max_acc_epoch}")
+        restored = master.ckpt_manager.restore(master.state)
+        if restored is not None:
+            master.state = type(master.state)(*restored)
+        master.save_weights(cfg.transformer_weight_path)
+        writer.close()
+        jsonl.close()
+    else:
+        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        master = Pipeline(
+            cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
+        )
+        print("Evaluating...")
+        results = master.evaluate(iter(val_datasets))
+        os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
+        with open(cfg.result_file, "w") as outfile:
+            json.dump(results, outfile)
+        if results:
+            cider = master.metric_eval(cfg.result_file)
+            print("CIDEr:", cider)
+
+
+if __name__ == "__main__":
+    main(Config.from_flags())
