@@ -38,19 +38,20 @@ import jax.numpy as jnp
 
 from ..models.transformer import Transformer
 
-__all__ = ["beam_search", "greedy_decode", "strip_sequence"]
+__all__ = ["beam_search", "greedy_decode", "strip_sequence", "cast_for_inference"]
 
 NEG_INF = -1.0e9
 
 
-def _gather_beams(tree: Any, beam_indices: jax.Array, batch: int, beam: int) -> Any:
-    """Reorder the leading (batch*beam) axis of every leaf by per-batch beam index."""
-    flat = (jnp.arange(batch)[:, None] * beam + beam_indices).reshape(-1)
+def cast_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
+    """Cast float32 weights to the compute dtype once, so the decode loop reads
+    half the weight bytes per step (params are otherwise cast on every use)."""
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
 
-    def gather(x):
-        return jnp.take(x, flat, axis=0)
-
-    return jax.tree.map(gather, tree)
+    return jax.tree.map(cast, variables)
 
 
 @functools.partial(
@@ -90,9 +91,16 @@ def beam_search(
     seqs = jnp.zeros((batch, beam_n, max_len), jnp.int32)
     tokens = jnp.full((bk,), start_token, jnp.int32)
     finished = jnp.zeros((batch, beam_n), jnp.bool_)
+    # Lazy beam reordering: the self-attention K/V caches are never physically
+    # gathered. ``src[row, p]`` holds the physical row whose cache slot stores
+    # logical beam ``row``'s position-p keys/values (its ancestry); the gather is
+    # fused into the attention reads (attention.attend_cached), eliminating
+    # ~2/3 of decode HBM traffic (cache rewrite read+write per step).
+    own_rows = jnp.arange(bk, dtype=jnp.int32)
+    src = jnp.broadcast_to(own_rows[:, None], (bk, max_len + 1))
 
     def cond(carry):
-        t, _, _, _, _, finished = carry
+        t, _, _, _, _, _, finished = carry
         if parity:
             # reference: stop when the current-best beam has emitted <end>
             # (beams are kept score-sorted by top_k → beam 0 is best)
@@ -102,9 +110,9 @@ def beam_search(
         return jnp.logical_and(t < max_len, jnp.logical_not(all_done))
 
     def body(carry):
-        t, tokens, scores, cache, seqs, finished = carry
-        logits, new_cache = model.apply(
-            variables, tokens, t, cache, method=Transformer.decode_step
+        t, tokens, scores, cache, src, seqs, finished = carry
+        logits, cache = model.apply(
+            variables, tokens, t, cache, src, method=Transformer.decode_step
         )
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         vocab = log_probs.shape[-1]
@@ -120,16 +128,13 @@ def beam_search(
         beam_idx = flat_idx // vocab                               # (B, K)
         new_tokens = (flat_idx % vocab).astype(jnp.int32)          # (B, K)
 
-        # reorder state by chosen parent beams
-        sel_cache = _gather_beams(
-            [{"k_self": c["k_self"], "v_self": c["v_self"]} for c in new_cache],
-            beam_idx, batch, beam_n,
-        )
-        new_cache = [
-            {"k_self": s["k_self"], "v_self": s["v_self"],
-             "k_cross": c["k_cross"], "v_cross": c["v_cross"]}
-            for s, c in zip(sel_cache, new_cache)
-        ]
+        # lazy reorder: remap ancestry rows instead of gathering the caches
+        flat_parent = (
+            jnp.arange(batch, dtype=jnp.int32)[:, None] * beam_n + beam_idx
+        ).reshape(-1)
+        src = jnp.take(src, flat_parent, axis=0)
+        src = jax.lax.dynamic_update_slice(src, own_rows[:, None], (0, t + 1))
+
         seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
         seqs = jax.lax.dynamic_update_slice(
             seqs, new_tokens[..., None], (0, 0, t)
@@ -137,10 +142,10 @@ def beam_search(
         was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
         finished = jnp.logical_or(was_finished, new_tokens == end_token)
 
-        return (t + 1, new_tokens.reshape(-1), new_scores, new_cache, seqs, finished)
+        return (t + 1, new_tokens.reshape(-1), new_scores, cache, src, seqs, finished)
 
-    carry = (jnp.int32(0), tokens, init_scores, cache, seqs, finished)
-    t, tokens, scores, cache, seqs, finished = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.int32(0), tokens, init_scores, cache, src, seqs, finished)
+    t, tokens, scores, cache, src, seqs, finished = jax.lax.while_loop(cond, body, carry)
 
     # best beam per batch item (top_k keeps beams score-sorted → index 0)
     best_seq = seqs[:, 0, :]           # (B, max_len) — includes <end> if emitted

@@ -107,17 +107,29 @@ class MultiHeadAttention(nn.Module):
 
     def attend_cached(
         self,
-        q: jax.Array,          # (B, Lq, d_model) — Lq is 1 at decode time
+        q: jax.Array,          # (B, 1, d_model) — single decode position
         k_cache: jax.Array,    # (B, Lmax, H, D)
         v_cache: jax.Array,    # (B, Lmax, H, D)
-        mask: Optional[jax.Array] = None,  # (B, 1|H, Lq|1, Lmax); 1.0 = disallow
+        mask: Optional[jax.Array] = None,  # broadcastable to (B, Lmax, 1); 1.0 = disallow
+        src: Optional[jax.Array] = None,   # (B, Lmax) int32 — lazy beam-ancestry rows
     ) -> jax.Array:
-        qh = self._split(self.wq(q))
+        """Single-position cached attention, formulated as fused VPU
+        multiply-reduce (M=1 matmuls waste the MXU; the elementwise form lets XLA
+        fuse the optional ancestry gather into the K/V reads, so beam-search
+        reordering costs zero cache rewrites — see decode/beam_search.py).
+        """
+        b = q.shape[0]
+        qh = self._split(self.wq(q))[:, 0]  # (B, H, D)
+        if src is not None:
+            idx = src[:, :, None, None]
+            k_cache = jnp.take_along_axis(k_cache, idx, axis=0)
+            v_cache = jnp.take_along_axis(v_cache, idx, axis=0)
         scale = jnp.asarray(1.0 / jnp.sqrt(self.depth), qh.dtype)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache) * scale
+        # logits[b, l, h] = q[b, h, :] · k_cache[b, l, h, :]
+        logits = (qh[:, None, :, :] * k_cache).sum(-1).astype(jnp.float32) * scale.astype(jnp.float32)
         if mask is not None:
             logits = logits + (mask * NEG_INF_SCALE).astype(logits.dtype)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qh.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v_cache)
-        ctx = ctx.reshape(q.shape[0], q.shape[1], self.d_model)
+        weights = jax.nn.softmax(logits, axis=1).astype(qh.dtype)  # (B, Lmax, H)
+        ctx = (weights[..., None] * v_cache).sum(1)  # (B, H, D)
+        ctx = ctx.reshape(b, 1, self.d_model)
         return self.dense(ctx)

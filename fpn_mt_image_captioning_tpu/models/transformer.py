@@ -215,17 +215,19 @@ class DecoderLayer(nn.Module):
         v_self: jax.Array,
         k_cross: jax.Array,        # (B, Lenc, H, D) — precomputed
         v_cross: jax.Array,
+        src: Optional[jax.Array] = None,  # (B, Lmax) beam-ancestry rows
     ):
         k_t, v_t = self.mha1.project_kv(x_t)   # (B, 1, H, D)
         k_self = jax.lax.dynamic_update_slice(k_self, k_t, (0, pos, 0, 0))
         v_self = jax.lax.dynamic_update_slice(v_self, v_t, (0, pos, 0, 0))
 
-        # mask cache slots beyond the current position (1.0 = disallow)
+        # mask cache slots beyond the current position (1.0 = disallow);
+        # logits layout is (B, Lmax, H) → mask broadcasts as (1, Lmax, 1)
         max_len = k_self.shape[1]
         idx = jnp.arange(max_len)
-        self_mask = (idx > pos).astype(jnp.float32)[None, None, None, :]
+        self_mask = (idx > pos).astype(jnp.float32)[None, :, None]
 
-        attn1 = self.mha1.attend_cached(x_t, k_self, v_self, mask=self_mask)
+        attn1 = self.mha1.attend_cached(x_t, k_self, v_self, mask=self_mask, src=src)
         out1 = self.layernorm1(attn1 + x_t).astype(x_t.dtype)
 
         attn2 = self.mha2.attend_cached(out1, k_cross, v_cross, mask=None)
@@ -305,6 +307,7 @@ class Decoder(nn.Module):
         tokens: jax.Array,   # (B,) current token ids
         pos: jax.Array,      # scalar int32 position
         cache: list[dict[str, jax.Array]],
+        src: Optional[jax.Array] = None,  # (B, Lmax) beam-ancestry rows
     ):
         h = self.embedding(tokens)[:, None, :]
         pe = jax.lax.dynamic_slice_in_dim(
@@ -315,7 +318,7 @@ class Decoder(nn.Module):
         new_cache = []
         for layer, c in zip(self.dec_layers, cache):
             h, k_self, v_self = layer.decode_step(
-                h, pos, c["k_self"], c["v_self"], c["k_cross"], c["v_cross"]
+                h, pos, c["k_self"], c["v_self"], c["k_cross"], c["v_cross"], src
             )
             new_cache.append(
                 {"k_self": k_self, "v_self": v_self,
@@ -389,7 +392,8 @@ class Transformer(nn.Module):
     def init_cache(self, enc_output: jax.Array, max_len: int):
         return self.decoder.init_cache(enc_output, max_len)
 
-    def decode_step(self, tokens: jax.Array, pos: jax.Array, cache: Any):
-        h, new_cache = self.decoder.decode_step(tokens, pos, cache)
+    def decode_step(self, tokens: jax.Array, pos: jax.Array, cache: Any,
+                    src: Optional[jax.Array] = None):
+        h, new_cache = self.decoder.decode_step(tokens, pos, cache, src)
         logits = self.final_layer(h).astype(jnp.float32)
         return logits, new_cache

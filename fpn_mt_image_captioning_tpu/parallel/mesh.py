@@ -1,0 +1,87 @@
+"""Device mesh and sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2.5 — no tf.distribute, no
+communication backend). This module is the framework's parallelism foundation,
+expressed the TPU-native way: one ``jax.sharding.Mesh`` with ``data`` (DP) and
+``model`` (TP) axes, parameters annotated with ``PartitionSpec`` rules, and XLA
+inserting every collective (psum for DP grad reduction, all-gather/reduce-scatter
+for TP) over ICI — there is no NCCL-style transport API to call.
+
+Tensor-parallel rules follow the Megatron column→row pattern per block:
+  * attention q/k/v projections: column-parallel (heads split over ``model``);
+    the output projection: row-parallel;
+  * FFN: ``ffn1`` column-parallel over dff, ``ffn2`` row-parallel;
+  * embeddings/conv/LayerNorm/small tensors: replicated (the CNN trunk is
+    bandwidth-bound and small — sharding it would trade ICI latency for nothing).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+__all__ = ["make_mesh", "param_spec", "param_shardings", "data_sharding", "replicated"]
+
+# (regex over '/'-joined param path, PartitionSpec) — first match wins
+_TP_RULES: list[tuple[str, P]] = [
+    (r".*/(wq|wk|wv)/kernel$", P(None, "model")),
+    (r".*/(wq|wk|wv)/bias$", P("model")),
+    (r".*/out/kernel$", P("model", None)),
+    (r".*/out/bias$", P()),
+    (r".*/ffn1/kernel$", P(None, "model")),
+    (r".*/ffn1/bias$", P("model")),
+    (r".*/ffn2/kernel$", P("model", None)),
+    (r".*/ffn2/bias$", P()),
+    (r".*/final_layer/kernel$", P(None, "model")),
+    (r".*/final_layer/bias$", P("model")),
+]
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    model = max(cfg.model_axis_size, 1)
+    data = cfg.data_axis_size if cfg.data_axis_size > 0 else n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def param_spec(path: str, leaf=None, tp: bool = True) -> P:
+    """PartitionSpec for a parameter identified by its '/'-joined path."""
+    if tp:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
+    """Pytree of NamedShardings matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(_path_str(path), leaf, tp)),
+        params,
+    )
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data") -> NamedSharding:
+    """Batch-axis sharding for an ndim-dimensional array (batch leading)."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,99 @@
+"""Sharded (pjit) training step over a device mesh.
+
+Builds the same pure train step as the single-chip Pipeline, but with explicit
+input/output shardings: batch arrays sharded over ``data``, parameters sharded by
+the TP rules (or replicated), optimizer state following the parameters. XLA
+compiles in the gradient psum over ``data`` and the TP collectives over ``model``
+— sharded jit is the modern pjit (SURVEY.md §2.5 plan).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.positional import create_masks
+from ..models.transformer import Transformer
+from ..train.losses import masked_sparse_ce
+from ..train.pipeline import TrainState
+from .mesh import data_sharding, param_shardings, replicated
+
+__all__ = ["make_sharded_train_step", "shard_state", "make_sharded_decode_encode"]
+
+
+def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainState, Any]:
+    """Device_put the TrainState according to mesh rules; returns (state, shardings)."""
+    from .mesh import _path_str, param_spec
+
+    p_shard = param_shardings(mesh, state.params, tp=tp)
+    rep = replicated(mesh)
+
+    # Optimizer state embeds param-shaped trees (amsgrad mu/nu/nu_max) whose leaf
+    # paths end with the param path, so the same TP rules apply; scalars (count)
+    # are replicated.
+    def opt_shard(path, leaf):
+        if getattr(leaf, "ndim", 0) == 0:
+            return rep
+        return NamedSharding(mesh, param_spec(_path_str(path), leaf, tp))
+
+    opt_shardings = jax.tree_util.tree_map_with_path(opt_shard, state.opt_state)
+    # batch_stats replicated (the conv trunk is replicated)
+    bs_shardings = jax.tree.map(lambda _: rep, state.batch_stats)
+    shardings = TrainState(p_shard, bs_shardings, opt_shardings, rep)
+    placed = jax.device_put(state, shardings)
+    return placed, shardings
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    model: Transformer,
+    optimizer: optax.GradientTransformation,
+    state_shardings: TrainState,
+    seed: int = 0,
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, jax.Array]]:
+    img_sharding = data_sharding(mesh, 4)
+    cap_sharding = data_sharding(mesh, 2)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(state_shardings, img_sharding, cap_sharding),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, img, caption_token):
+        tar_inp = caption_token[:, :-1]
+        tar_real = caption_token[:, 1:]
+        mask = create_masks(tar_inp)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+        def loss_fn(params):
+            (logits, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, tar_inp, True, mask,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def make_sharded_decode_encode(mesh: Mesh, model: Transformer):
+    """Batch-sharded encoder forward for parallel serving."""
+    img_sharding = data_sharding(mesh, 4)
+
+    @functools.partial(jax.jit, in_shardings=(None, img_sharding))
+    def encode(variables, images):
+        return model.apply(variables, images, train=False, method=Transformer.encode)
+
+    return encode

@@ -71,7 +71,8 @@ def test_mha_cached_equals_full(rng):
         k_t, v_t = mha.apply(variables, x_t, method=MultiHeadAttention.project_kv)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, t, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, t, 0, 0))
-        mask = (jnp.arange(5) > t).astype(jnp.float32)[None, None, None, :]
+        # attend_cached logits layout is (B, L, H) → mask broadcasts as (1, L, 1)
+        mask = (jnp.arange(5) > t).astype(jnp.float32)[None, :, None]
         out = mha.apply(
             variables, x_t, k_cache, v_cache, mask,
             method=MultiHeadAttention.attend_cached,
