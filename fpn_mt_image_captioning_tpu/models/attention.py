@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from .layers import he_normal
 
-__all__ = ["scaled_dot_product_attention", "MultiHeadAttention"]
+__all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "MultiViewAttention"]
 
 NEG_INF_SCALE = -1e9  # reference parity: logits += mask * -1e9 (transformer.py:95)
 
@@ -48,6 +48,65 @@ def scaled_dot_product_attention(
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("...qk,...kd->...qd", weights, v)
     return out, weights
+
+
+class MultiViewAttention(nn.Module):
+    """Batched multi-view cross-attention — the UMV encoder layer's 4 per-view
+    MHAs (reference ``transformer.py:162,:186-190``) collapsed into stacked-weight
+    einsums.
+
+    The reference runs one ``MultiHeadAttention`` per non-baseline pyramid view
+    and residual-sums the outputs into the baseline stream. Mathematically that
+    is a single batched attention with a view axis:
+
+        q_v   = baseline @ Wq_v          (stacked: one einsum for all views)
+        logits_v = q_v · k_v / sqrt(D)   (views padded to a common key length)
+        out   = Σ_v dropout_v(ctx_v @ Wo_v + bo_v)
+
+    which cuts ~40 HLO ops per layer to ~12 — on TPU, fewer/bigger ops means
+    better MXU utilization and less per-kernel overhead. K/V are projected by
+    the caller (they are layer-invariant in the UMV encoder, so all layers'
+    K/V projections are computed once — see ``Encoder``).
+    """
+
+    num_views: int
+    d_model: int
+    num_heads: int
+    rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        baseline: jax.Array,   # (B, Lq, d_model)
+        k: jax.Array,          # (V, B, Lk, H, Dh) — precomputed, padded
+        v: jax.Array,          # (V, B, Lk, H, Dh)
+        kv_mask: jax.Array,    # (V, Lk) float — 1.0 at padded key slots
+        deterministic: bool = True,
+    ) -> jax.Array:
+        V, d, H = self.num_views, self.d_model, self.num_heads
+        Dh = d // H
+        wq = self.param("wq", he_normal(), (V, d, d), self.param_dtype)
+        bq = self.param("bq", nn.initializers.zeros, (V, d), self.param_dtype)
+        wo = self.param("wo", he_normal(), (V, d, d), self.param_dtype)
+        bo = self.param("bo", nn.initializers.zeros, (V, d), self.param_dtype)
+
+        b, lq, _ = baseline.shape
+        q = jnp.einsum("bqd,vde->vbqe", baseline, wq.astype(self.dtype))
+        q = q + bq.astype(self.dtype)[:, None, None, :]
+        q = q.reshape(V, b, lq, H, Dh)
+
+        scale = jnp.asarray(1.0 / jnp.sqrt(Dh), self.dtype)
+        logits = jnp.einsum("vbqhd,vbkhd->vbhqk", q, k) * scale
+        logits = logits + (kv_mask[:, None, None, None, :] * NEG_INF_SCALE).astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("vbhqk,vbkhd->vbqhd", weights, v).reshape(V, b, lq, d)
+
+        outs = jnp.einsum("vbqd,vde->vbqe", ctx, wo.astype(self.dtype))
+        outs = outs + bo.astype(self.dtype)[:, None, None, :]
+        outs = nn.Dropout(self.rate)(outs, deterministic=deterministic)  # per-view iid
+        return outs.sum(axis=0)  # (B, Lq, d_model)
 
 
 class MultiHeadAttention(nn.Module):

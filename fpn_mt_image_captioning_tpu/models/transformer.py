@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .attention import MultiHeadAttention
+from .attention import MultiHeadAttention, MultiViewAttention
 from .feature_extractor import FeatureExtractor
 from .layers import he_normal, resolve_activation
 from .positional import positional_encoding, raw_positional_encoding
@@ -74,6 +74,11 @@ def _ln(name: str):
 
 
 class EncoderLayer(nn.Module):
+    """UMV encoder layer: batched multi-view cross-attention into the baseline
+    stream, then post-LN FFN (reference ``transformer.py:158-198`` semantics,
+    computed with the stacked-weight MultiViewAttention — K/V are projected
+    upstream once for all layers since the source views never change)."""
+
     d_model: int
     num_heads: int
     dff: int
@@ -83,27 +88,24 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.mhas = [
-            MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype, name=f"mha_{i}")
-            for i in range(self.num_views)
-        ]
+        self.mva = MultiViewAttention(
+            self.num_views, self.d_model, self.num_heads, self.rate,
+            dtype=self.dtype, name="mva",
+        )
         self.ffn = _FFN(self.d_model, self.dff, self.activation, self.dtype, name="ffn")
         self.layernorm1 = _ln("layernorm1")
         self.layernorm2 = _ln("layernorm2")
-        self.dropout1s = [nn.Dropout(self.rate) for _ in range(self.num_views)]
         self.dropout2 = nn.Dropout(self.rate)
 
     def __call__(
         self,
-        views: list[jax.Array],        # views[:-1] = sources, views[-1] = baseline
+        baseline: jax.Array,   # (B, Lq, d_model)
+        k: jax.Array,          # (V, B, Lk, H, Dh) — this layer's view keys
+        v: jax.Array,          # (V, B, Lk, H, Dh)
+        kv_mask: jax.Array,    # (V, Lk)
         deterministic: bool = True,
-        mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        baseline = views[-1]
-        out = baseline
-        for i in range(self.num_views):
-            mha_out, _ = self.mhas[i](q=baseline, k=views[i], v=views[i], mask=mask)
-            out = out + self.dropout1s[i](mha_out, deterministic=deterministic)
+        out = baseline + self.mva(baseline, k, v, kv_mask, deterministic)
         out1 = self.layernorm1(out).astype(baseline.dtype)
         ffn_out = self.dropout2(self.ffn(out1), deterministic=deterministic)
         return self.layernorm2(out1 + ffn_out).astype(baseline.dtype)
@@ -133,13 +135,26 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             name="feature_extractor",
         )
+        num_views = self.num_pyramids - 1
         self.enc_layers = [
             EncoderLayer(
-                self.d_model, self.num_heads, self.dff, self.num_pyramids - 1,
+                self.d_model, self.num_heads, self.dff, num_views,
                 self.rate, self.activation, self.dtype, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]
+        # All layers' K/V projections, computed in one shot: the UMV source views
+        # are constant across layers (only the baseline updates — reference
+        # transformer.py:298-299), so K/V need projecting exactly once.
+        self.kv_proj = self.param(
+            "kv_proj",
+            nn.initializers.he_normal(),
+            (self.num_layers, num_views, self.d_model, 2 * self.d_model),
+        )
+        self.kv_bias = self.param(
+            "kv_bias", nn.initializers.zeros,
+            (self.num_layers, num_views, 2 * self.d_model),
+        )
         self.layernorm1 = _ln("layernorm1")  # shared across all views
         self.dropout1s = [nn.Dropout(self.rate) for _ in range(self.num_pyramids)]
         self.pos_encoding = positional_encoding(self.input_vocab_size, self.d_model)
@@ -161,10 +176,42 @@ class Encoder(nn.Module):
             t = self.dropout1s[i](t, deterministic=not train)
             embedded.append(t)
 
-        for layer in self.enc_layers:
+        baseline = embedded[-1]
+        sources = embedded[:-1]
+
+        # pad source views to a common key length and stack: (V, B, Lmax, d)
+        lmax = max(s.shape[1] for s in sources)
+        batch = baseline.shape[0]
+        padded = jnp.stack(
+            [
+                jnp.pad(s, ((0, 0), (0, lmax - s.shape[1]), (0, 0)))
+                for s in sources
+            ]
+        )
+        kv_mask = jnp.stack(
+            [
+                (jnp.arange(lmax) >= s.shape[1]).astype(jnp.float32)
+                for s in sources
+            ]
+        )
+
+        # one projection for every (layer, view): (Lyr, V, B, Lmax, 2d)
+        h_heads = self.num_heads
+        dh = self.d_model // h_heads
+        kv = jnp.einsum(
+            "vbkd,lvde->lvbke", padded, jnp.asarray(self.kv_proj, baseline.dtype)
+        ) + jnp.asarray(self.kv_bias, baseline.dtype)[:, :, None, None, :]
+        kv = kv.reshape(
+            self.num_layers, len(sources), batch, lmax, 2, h_heads, dh
+        )
+        k_all, v_all = kv[..., 0, :, :], kv[..., 1, :, :]
+
+        for li, layer in enumerate(self.enc_layers):
             apply_layer = jax.checkpoint(layer.__call__) if self.remat else layer
-            embedded[-1] = apply_layer(embedded, not train)
-        return embedded[-1]
+            baseline = apply_layer(
+                baseline, k_all[li], v_all[li], kv_mask, not train
+            )
+        return baseline
 
 
 class DecoderLayer(nn.Module):

@@ -30,6 +30,14 @@ __all__ = ["make_mesh", "param_spec", "param_shardings", "data_sharding", "repli
 
 # (regex over '/'-joined param path, PartitionSpec) — first match wins
 _TP_RULES: list[tuple[str, P]] = [
+    # batched multi-view attention (stacked per-view weights)
+    (r".*/mva/wq$", P(None, None, "model")),
+    (r".*/mva/bq$", P(None, "model")),
+    (r".*/mva/wo$", P(None, "model", None)),
+    (r".*/mva/bo$", P()),
+    (r".*/kv_proj$", P(None, None, None, "model")),
+    (r".*/kv_bias$", P(None, None, "model")),
+    # standard attention
     (r".*/(wq|wk|wv)/kernel$", P(None, "model")),
     (r".*/(wq|wk|wv)/bias$", P("model")),
     (r".*/out/kernel$", P("model", None)),

@@ -34,6 +34,9 @@ def workdir(tmp_path_factory):
         result_dir=str(root / "results"),
         compute_dtype="float32",
         decode_batch=3,
+        # short warmup so the LR is non-negligible within the few test steps
+        # (the reference default 4000 gives ~1e-6 at step 8)
+        warm_up_steps=10,
     )
     return root, cfg
 
