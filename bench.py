@@ -67,11 +67,14 @@ def main():
     def encode(variables, images):
         return model.apply(variables, images, train=False, method=Transformer.encode)
 
+    fused = jax.default_backend() == "tpu"
+
     def caption(images):
         enc = encode(variables, images)
         seqs, lengths, _ = beam_search(
             model, variables, enc,
             beam_n=beam, max_len=max_len, start_token=1, end_token=vocab - 1,
+            fused=fused,
         )
         return seqs, lengths
 

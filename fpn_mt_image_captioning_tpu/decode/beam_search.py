@@ -57,7 +57,7 @@ def cast_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "beam_n", "max_len", "start_token", "end_token", "parity"
+        "model", "beam_n", "max_len", "start_token", "end_token", "parity", "fused"
     ),
 )
 def beam_search(
@@ -70,6 +70,7 @@ def beam_search(
     start_token: int,
     end_token: int,
     parity: bool = False,
+    fused: bool = False,       # use the fused Pallas decoder-step kernel (TPU)
 ):
     """Returns ``(sequences (B, max_len) int32, lengths (B,) int32, scores (B,))``.
 
@@ -79,9 +80,39 @@ def beam_search(
     batch = enc_output.shape[0]
     bk = batch * beam_n
 
-    # tile encoder output beam-major: (B, L, D) → (B*K, L, D)
-    enc_tiled = jnp.repeat(enc_output, beam_n, axis=0)
-    cache = model.apply(variables, enc_tiled, max_len + 1, method=Transformer.init_cache)
+    if fused:
+        from ..ops.fused_decoder import (
+            fused_decode_step,
+            init_fused_cache,
+            pack_decoder_weights,
+            round_up,
+        )
+        from ..models.positional import raw_positional_encoding
+
+        params = variables["params"]
+        packed = pack_decoder_weights(params, model.num_layers)
+        cache = init_fused_cache(packed, enc_output, beam_n, max_len)
+        lpad = cache["k_self"].shape[1]
+        emb_table = jnp.asarray(
+            params["decoder"]["embedding"]["embedding"], packed["wqkv"].dtype
+        )
+        pe_table = jnp.asarray(
+            raw_positional_encoding(model.max_seq_len + model.max_position, model.d_model),
+            packed["wqkv"].dtype,
+        )
+        w_final = jnp.asarray(params["final_layer"]["kernel"], packed["wqkv"].dtype)
+        b_final = jnp.asarray(params["final_layer"]["bias"], jnp.float32)
+        srcT = jnp.broadcast_to(
+            (jnp.arange(bk, dtype=jnp.int32) % beam_n)[None, :], (lpad, bk)
+        )
+        own_local = jnp.arange(bk, dtype=jnp.int32) % beam_n
+    else:
+        # tile encoder output beam-major: (B, L, D) → (B*K, L, D)
+        enc_tiled = jnp.repeat(enc_output, beam_n, axis=0)
+        cache = model.apply(
+            variables, enc_tiled, max_len + 1, method=Transformer.init_cache
+        )
+        srcT = None
 
     if parity:
         init_scores = jnp.zeros((batch, beam_n), jnp.float32)
@@ -97,7 +128,7 @@ def beam_search(
     # fused into the attention reads (attention.attend_cached), eliminating
     # ~2/3 of decode HBM traffic (cache rewrite read+write per step).
     own_rows = jnp.arange(bk, dtype=jnp.int32)
-    src = jnp.broadcast_to(own_rows[:, None], (bk, max_len + 1))
+    src = srcT if fused else jnp.broadcast_to(own_rows[:, None], (bk, max_len + 1))
 
     def cond(carry):
         t, _, _, _, _, _, finished = carry
@@ -111,9 +142,22 @@ def beam_search(
 
     def body(carry):
         t, tokens, scores, cache, src, seqs, finished = carry
-        logits, cache = model.apply(
-            variables, tokens, t, cache, src, method=Transformer.decode_step
-        )
+        if fused:
+            pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
+            x_emb = jnp.take(emb_table, tokens, axis=0) + pe_row
+            x_out, cache = fused_decode_step(
+                packed, cache, x_emb, src, t,
+                num_layers=model.num_layers, beam=beam_n,
+                num_heads=model.num_heads,
+            )
+            logits = (
+                jnp.dot(x_out, w_final, preferred_element_type=jnp.float32)
+                + b_final[None, :]
+            )
+        else:
+            logits, cache = model.apply(
+                variables, tokens, t, cache, src, method=Transformer.decode_step
+            )
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         vocab = log_probs.shape[-1]
         log_probs = log_probs.reshape(batch, beam_n, vocab)
@@ -132,8 +176,12 @@ def beam_search(
         flat_parent = (
             jnp.arange(batch, dtype=jnp.int32)[:, None] * beam_n + beam_idx
         ).reshape(-1)
-        src = jnp.take(src, flat_parent, axis=0)
-        src = jax.lax.dynamic_update_slice(src, own_rows[:, None], (0, t + 1))
+        if fused:
+            src = jnp.take(src, flat_parent, axis=1)
+            src = jax.lax.dynamic_update_slice(src, own_local[None, :], (t + 1, 0))
+        else:
+            src = jnp.take(src, flat_parent, axis=0)
+            src = jax.lax.dynamic_update_slice(src, own_rows[:, None], (0, t + 1))
 
         seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
         seqs = jax.lax.dynamic_update_slice(

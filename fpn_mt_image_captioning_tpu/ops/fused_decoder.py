@@ -1,0 +1,422 @@
+"""Fused decoder-step Pallas kernel: the ENTIRE N-layer decoder advance for one
+token position in ONE kernel launch.
+
+Why: autoregressive decode is dispatch-bound, not FLOP-bound — the XLA path
+issues ~200 small HLO ops per generated token (qkv/out/ffn matmuls, cache
+updates, gathers, softmaxes, LayerNorms × 6 layers). This kernel runs the whole
+stack inside a single ``pallas_call`` with ``grid=(num_layers,)``:
+
+  * the hidden state x (BK, d) lives in VMEM scratch across grid steps (TPU grid
+    cells execute sequentially, so layer l+1 sees layer l's write);
+  * per-layer weights are streamed as blocked VMEM inputs indexed by the layer
+    id — Pallas double-buffers them, so layer l+1's weights DMA in while layer l
+    computes;
+  * self-attention K/V caches stay in HBM, position-major ``(N, L, BK, d)`` so
+    the one new row per step is a single contiguous (BK, d) DMA write; history
+    is DMA'd tile-by-tile (64 rows) into VMEM scratch;
+  * beam ancestry ("which physical row holds position p's K/V for this beam")
+    is resolved by a one-hot matmul over the beam group — the TPU-idiomatic
+    gather (``k_eff = onehot @ k_group`` batched over (L, group)) — so beam
+    reordering costs zero cache rewrites (see decode/beam_search.py);
+  * cross-attention K/V (16-token encoder output) are precomputed per layer and
+    stored per *batch item*, not per beam — beams share them;
+  * LayerNorms, softmaxes (float32), residuals, and the leaky-ReLU FFN all run
+    in-kernel.
+
+Semantics match ``Decoder.decode_step`` (models/transformer.py) up to bf16
+rounding; verified against the XLA path by tests/test_fused_decoder.py
+(interpreter mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_decoder_weights", "init_fused_cache", "fused_decode_step", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# weight packing: flax decoder param tree → stacked per-layer arrays
+# ---------------------------------------------------------------------------
+def pack_decoder_weights(params: Any, num_layers: int, dtype=jnp.bfloat16) -> dict:
+    """Stack the decoder's per-layer weights along a leading layer axis.
+
+    Layout (d = d_model, f = dff):
+      wqkv (N, d, 3d)  bqkv (N, 3d)     — self-attn q|k|v fused
+      wo   (N, d, d)   bo   (N, d)
+      wcq  (N, d, d)   bcq  (N, d)      — cross-attn query
+      wco  (N, d, d)   bco  (N, d)
+      wkv_x(N, d, 2d)  bkv_x(N, 2d)     — cross-attn k|v (applied to enc output)
+      w1   (N, d, f)   b1   (N, f)
+      w2   (N, f, d)   b2   (N, d)
+      ln   (N, 8, d)   float32          — s1,b1,s2,b2,s3,b3,(pad,pad)
+    """
+    dec = params["decoder"]
+
+    def get(l, *path):
+        node = dec[f"layer_{l}"]
+        for k in path:
+            node = node[k]
+        return node
+
+    def stack(fn):
+        return jnp.stack([fn(l) for l in range(num_layers)]).astype(dtype)
+
+    zeros_d = jnp.zeros_like(jnp.asarray(get(0, "layernorm1", "scale")))
+    return {
+        "wqkv": stack(lambda l: jnp.concatenate(
+            [get(l, "mha1", n, "kernel") for n in ("wq", "wk", "wv")], axis=1)),
+        "bqkv": stack(lambda l: jnp.concatenate(
+            [get(l, "mha1", n, "bias") for n in ("wq", "wk", "wv")])[None, :]),
+        "wo": stack(lambda l: get(l, "mha1", "out", "kernel")),
+        "bo": stack(lambda l: get(l, "mha1", "out", "bias")[None, :]),
+        "wcq": stack(lambda l: get(l, "mha2", "wq", "kernel")),
+        "bcq": stack(lambda l: get(l, "mha2", "wq", "bias")[None, :]),
+        "wco": stack(lambda l: get(l, "mha2", "out", "kernel")),
+        "bco": stack(lambda l: get(l, "mha2", "out", "bias")[None, :]),
+        "wkv_x": stack(lambda l: jnp.concatenate(
+            [get(l, "mha2", n, "kernel") for n in ("wk", "wv")], axis=1)),
+        "bkv_x": stack(lambda l: jnp.concatenate(
+            [get(l, "mha2", n, "bias") for n in ("wk", "wv")])),
+        "w1": stack(lambda l: get(l, "ffn", "ffn1", "kernel")),
+        "b1": stack(lambda l: get(l, "ffn", "ffn1", "bias")[None, :]),
+        "w2": stack(lambda l: get(l, "ffn", "ffn2", "kernel")),
+        "b2": stack(lambda l: get(l, "ffn", "ffn2", "bias")[None, :]),
+        "ln": jnp.stack([
+            jnp.stack([
+                get(l, "layernorm1", "scale"), get(l, "layernorm1", "bias"),
+                get(l, "layernorm2", "scale"), get(l, "layernorm2", "bias"),
+                get(l, "layernorm3", "scale"), get(l, "layernorm3", "bias"),
+                zeros_d, zeros_d,
+            ]) for l in range(num_layers)
+        ]).astype(jnp.float32),
+    }
+
+
+def init_fused_cache(
+    packed: dict, enc_output: jax.Array, beam: int, max_len: int
+) -> dict:
+    """Zero self caches (N, Lpad, B·beam, d) + cross K/V per batch item
+    (N, B, Lenc, 2d). ``enc_output`` is UNtiled (B, Lenc, d_model)."""
+    n, d, _ = packed["wqkv"].shape
+    lpad = round_up(max_len + 1, 8)
+    dtype = packed["wqkv"].dtype
+    # stored (N, Lenc, B, 2d): the kernel replicates per-batch K/V over beams
+    kv_cross = jnp.einsum(
+        "bld,nde->nlbe", enc_output.astype(dtype), packed["wkv_x"]
+    ) + packed["bkv_x"][:, None, None, :].astype(dtype)
+    bk = enc_output.shape[0] * beam
+    return {
+        "k_self": jnp.zeros((n, lpad, bk, d), dtype),
+        "v_self": jnp.zeros((n, lpad, bk, d), dtype),
+        "kv_cross": kv_cross.astype(dtype),  # (N, Lenc, B, 2d)
+    }
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+def _decoder_kernel(
+    # scalar prefetch
+    pos_ref,                 # (1,) int32
+    # inputs
+    x_in_ref,                # (BK, d) VMEM
+    oh_ref,                  # (n_tiles, Lpad·g, beam, beam) VMEM — ancestry one-hots
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
+    kv_cross_ref,            # (1, Lenc, B, 2d) VMEM
+    k_self_hbm,              # (N, Lpad, BK, d) ANY/HBM — aliased with output
+    v_self_hbm,
+    # outputs
+    x_out_ref,               # (BK, d) VMEM
+    k_self_out,              # aliased full-array ANY ref
+    v_self_out,
+    # scratch
+    x_s,                     # (BK, d)
+    row_s,                   # (2, BK, d) — new K/V rows staged for DMA
+    k_tile_s,                # (Lpad, TILE, d)
+    v_tile_s,                # (Lpad, TILE, d)
+    ctx_s,                   # (BK, d)
+    sem,                     # DMA semaphores (4,)
+    *,
+    num_layers: int,
+    beam: int,
+    num_heads: int,
+    tile: int,
+):
+    layer = pl.program_id(0)
+    bk, d = x_s.shape
+    lpad = k_tile_s.shape[0]
+    h = num_heads
+    dh = d // h
+    pos = pos_ref[0]
+    f32 = jnp.float32
+    scale = 1.0 / np.sqrt(dh)
+
+    @pl.when(layer == 0)
+    def _():
+        x_s[:] = x_in_ref[:]
+
+    def layer_norm(y_f32, scale_row, bias_row):
+        mu = jnp.mean(y_f32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y_f32 - mu), axis=-1, keepdims=True)
+        yn = (y_f32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        return yn * scale_row[None, :] + bias_row[None, :]
+
+    x = x_s[:]
+    dtype = x.dtype
+
+    # ---- self-attention: projections + cache write --------------------------
+    qkv = jnp.dot(x, wqkv_ref[0], preferred_element_type=f32) + bqkv_ref[0]
+    qkv = qkv.astype(dtype)
+    q = qkv[:, :d]
+    row_s[0, :, :] = qkv[:, d : 2 * d]   # k_t
+    row_s[1, :, :] = qkv[:, 2 * d :]     # v_t
+
+    kw = pltpu.make_async_copy(
+        row_s.at[0], k_self_out.at[layer, pos], sem.at[0]
+    )
+    vw = pltpu.make_async_copy(
+        row_s.at[1], v_self_out.at[layer, pos], sem.at[1]
+    )
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    # slot-validity mask over cache positions
+    pos_idx = jax.lax.broadcasted_iota(jnp.int32, (lpad, 1), 0)
+    invalid = pos_idx > pos  # (Lpad, 1) bool
+
+    g = tile // beam       # beam groups per tile
+    n_tiles = bk // tile
+
+    # Head-segment indicator matrices (the Mosaic-safe way to do per-head
+    # contractions without lane-dim reshapes): S[dd, j] = 1 iff lane dd belongs
+    # to head j; logits-per-head = (q ⊙ k) @ S, lane-expansion = w @ Sᵀ.
+    hp = 128  # padded head axis (≥ num_heads, MXU-friendly)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (d, hp), 0) // dh
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (d, hp), 1)
+    S = (lane_head == col_head).astype(dtype)          # (d, 128)
+    ST = (
+        jax.lax.broadcasted_iota(jnp.int32, (hp, d), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (hp, d), 1) // dh
+    ).astype(dtype)                                    # (128, d)
+
+    q_scaled = (q.astype(f32) * scale).astype(dtype)
+
+    for ti in range(n_tiles):
+        r0 = ti * tile
+        kr = pltpu.make_async_copy(
+            k_self_out.at[layer, :, pl.ds(r0, tile), :], k_tile_s, sem.at[2]
+        )
+        vr = pltpu.make_async_copy(
+            v_self_out.at[layer, :, pl.ds(r0, tile), :], v_tile_s, sem.at[3]
+        )
+        kr.start()
+        vr.start()
+        kr.wait()
+        vr.wait()
+
+        # ancestry gather as a one-hot batched matmul over the beam group
+        oh_t = oh_ref[ti]                                   # (L·g, beam, beam)
+        k_grp = k_tile_s[:].reshape(lpad * g, beam, d)
+        v_grp = v_tile_s[:].reshape(lpad * g, beam, d)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        k_eff = jax.lax.dot_general(oh_t, k_grp, dn, preferred_element_type=f32).astype(dtype)
+        v_eff = jax.lax.dot_general(oh_t, v_grp, dn, preferred_element_type=f32)
+
+        # per-head logits via segment matmul: (L·g·beam, d) @ (d, 128)
+        q_g = q_scaled[r0 : r0 + tile, :].reshape(g, beam, d)
+        q_bc = jnp.broadcast_to(q_g[None], (lpad, g, beam, d))
+        prod = q_bc * k_eff.reshape(lpad, g, beam, d)
+        lg = jnp.dot(
+            prod.reshape(lpad * g * beam, d), S, preferred_element_type=f32
+        ).reshape(lpad, g, beam, hp)
+
+        inv4 = jax.lax.broadcasted_iota(jnp.int32, (lpad, g, beam, hp), 0) > pos
+        lg = jnp.where(inv4, -1e9, lg)
+        m = jnp.max(lg, axis=0, keepdims=True)
+        e = jnp.exp(lg - m)
+        w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, g, q, 128) f32
+
+        # expand per-head weights back over lanes and contract positions
+        w_d = jnp.dot(
+            w.reshape(lpad * g * beam, hp).astype(dtype), ST,
+            preferred_element_type=f32,
+        ).reshape(lpad, g, beam, d)
+        ctx = (w_d * v_eff.reshape(lpad, g, beam, d)).sum(0)  # (g, beam, d) f32
+        ctx_s[r0 : r0 + tile, :] = ctx.reshape(tile, d).astype(dtype)
+
+    ln = ln_ref[0]  # (8, d) f32
+    attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
+    out1 = layer_norm(attn + x.astype(f32), ln[0], ln[1])
+    out1_b = out1.astype(dtype)
+
+    # ---- cross-attention (K/V shared per batch item, (Lenc, B, 2d) layout) --
+    q2 = jnp.dot(out1_b, wcq_ref[0], preferred_element_type=f32) + bcq_ref[0]
+    q2 = (q2 * scale).astype(dtype)
+    kv_x = kv_cross_ref[0]                     # (Lenc, B, 2d)
+    lenc, b_items = kv_x.shape[0], kv_x.shape[1]
+    k_x = kv_x[:, :, :d]                       # (Lenc, B, d)
+    v_x = kv_x[:, :, d:]
+    # replicate each batch item's K/V over its beams (rows are batch-major):
+    # one-hot expansion matmul E[r, b] = (r // beam == b), batched over Lenc
+    # (pltpu.repeat is tile-order, not element-repeat, so it can't be used here)
+    E = (
+        jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 0) // beam
+        == jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 1)
+    ).astype(dtype)
+    E_bc = jnp.broadcast_to(E[None], (lenc, bk, b_items))
+    dn_e = (((2,), (1,)), ((0,), (0,)))
+    k_bc = jax.lax.dot_general(E_bc, k_x, dn_e, preferred_element_type=f32).astype(dtype)
+    v_bc = jax.lax.dot_general(E_bc, v_x, dn_e, preferred_element_type=f32).astype(dtype)
+    prod2 = jnp.broadcast_to(q2[None], (lenc, bk, d)) * k_bc
+    lg2 = jnp.dot(
+        prod2.reshape(lenc * bk, d), S, preferred_element_type=f32
+    ).reshape(lenc, bk, hp)
+    m2 = jnp.max(lg2, axis=0, keepdims=True)
+    e2 = jnp.exp(lg2 - m2)
+    w2a = e2 / jnp.sum(e2, axis=0, keepdims=True)
+    w2d = jnp.dot(
+        w2a.reshape(lenc * bk, hp).astype(dtype), ST, preferred_element_type=f32
+    ).reshape(lenc, bk, d)
+    ctx2 = (w2d * v_bc.astype(f32)).sum(0).astype(dtype)      # (BK, d)
+
+    attn2 = jnp.dot(ctx2, wco_ref[0], preferred_element_type=f32) + bco_ref[0]
+    out2 = layer_norm(attn2 + out1, ln[2], ln[3])
+    out2_b = out2.astype(dtype)
+
+    # ---- FFN ----------------------------------------------------------------
+    hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
+    hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)     # leaky_relu(0.2)
+    ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
+    out3 = layer_norm(ffn + out2, ln[4], ln[5])
+
+    x_s[:] = out3.astype(dtype)
+
+    @pl.when(layer == num_layers - 1)
+    def _():
+        x_out_ref[:] = x_s[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_layers", "beam", "num_heads", "tile", "interpret"),
+)
+def fused_decode_step(
+    packed: dict,
+    cache: dict,
+    x_emb: jax.Array,     # (BK, d) — token embedding + positional encoding
+    src_t: jax.Array,     # (Lpad, BK) int32, values 0..beam-1 (transposed ancestry)
+    pos: jax.Array,       # scalar int32
+    *,
+    num_layers: int,
+    beam: int,
+    num_heads: int,
+    tile: int = 64,
+    interpret: bool = False,
+):
+    """All decoder layers for one position in one kernel. Returns
+    (x_out (BK, d), new_cache); self caches are updated via buffer aliasing."""
+    bk, d = x_emb.shape
+    n = num_layers
+    lpad = cache["k_self"].shape[1]
+    dtype = packed["wqkv"].dtype
+    dff = packed["w1"].shape[-1]
+    lenc, b_items = cache["kv_cross"].shape[1:3]
+    tile = min(tile, bk)
+    while bk % tile or tile % beam:
+        tile -= 1
+    g = tile // beam
+    n_tiles = bk // tile
+
+    # ancestry one-hots, laid out per tile for the kernel:
+    # oh[ti, l·g + j, q, s] = (src_t[l, ti·tile + j·beam + q] == s)
+    oh = (src_t[:, :, None] == jnp.arange(beam, dtype=src_t.dtype)).astype(dtype)
+    oh = oh.reshape(lpad, n_tiles, g, beam, beam)
+    oh = oh.transpose(1, 0, 2, 3, 4).reshape(n_tiles, lpad * g, beam, beam)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((bk, d), lambda l, *_: (0, 0)),            # x_in
+            pl.BlockSpec(
+                (n_tiles, lpad * g, beam, beam), lambda l, *_: (0, 0, 0, 0)
+            ),                                                      # oh
+            pl.BlockSpec((1, d, 3 * d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, d, dff), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, dff), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, dff, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((1, lenc, b_items, 2 * d), lambda l, *_: (l, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),               # k_self (full)
+            pl.BlockSpec(memory_space=pltpu.ANY),               # v_self (full)
+        ],
+        out_specs=[
+            pl.BlockSpec((bk, d), lambda l, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), dtype),
+            pltpu.VMEM((2, bk, d), dtype),
+            pltpu.VMEM((lpad, tile, d), dtype),
+            pltpu.VMEM((lpad, tile, d), dtype),
+            pltpu.VMEM((bk, d), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decoder_kernel,
+        num_layers=n, beam=beam, num_heads=num_heads, tile=tile,
+    )
+
+    x_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bk, d), dtype),
+            jax.ShapeDtypeStruct(cache["k_self"].shape, dtype),
+            jax.ShapeDtypeStruct(cache["v_self"].shape, dtype),
+        ],
+        # alias self caches: input operand index (incl. scalar prefetch) → output
+        input_output_aliases={17: 1, 18: 2},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        x_emb.astype(dtype),
+        oh,
+        packed["wqkv"], packed["bqkv"], packed["wo"], packed["bo"],
+        packed["wcq"], packed["bcq"], packed["wco"], packed["bco"],
+        packed["w1"], packed["b1"], packed["w2"], packed["b2"], packed["ln"],
+        cache["kv_cross"],
+        cache["k_self"], cache["v_self"],
+    )
+    new_cache = {"k_self": k_new, "v_self": v_new, "kv_cross": cache["kv_cross"]}
+    return x_out, new_cache

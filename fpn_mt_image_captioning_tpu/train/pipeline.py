@@ -187,11 +187,18 @@ class Pipeline:
         cfg = self.config
         beam_n = cfg.beam_search_n if beam_n is None else beam_n
         enc = self._encode(self.variables, jnp.asarray(images))
+        # fused Pallas decoder on TPU (disabled in parity mode, which needs the
+        # reference's degenerate tie-breaking reproduced bit-exactly in f32)
+        fused = (
+            cfg.use_pallas
+            and not cfg.beam_parity_mode
+            and jax.default_backend() == "tpu"
+        )
         seqs, lengths, _scores = beam_search(
             self.transformer, self.variables, enc,
             beam_n=beam_n, max_len=self.max_seq_len,
             start_token=self.start_token, end_token=self.end_token,
-            parity=cfg.beam_parity_mode,
+            parity=cfg.beam_parity_mode, fused=fused,
         )
         return np.asarray(seqs), np.asarray(lengths)
 

@@ -1,0 +1,46 @@
+"""Fused-kernel beam search must match the XLA beam search exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search
+from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+
+VOCAB, START, END, MAX_LEN = 23, 2, 3, 7
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    key = jax.random.PRNGKey(7)
+    model = Transformer(
+        num_layers=2, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=MAX_LEN + 1,
+    )
+    enc_output = jax.random.normal(key, (2, 4, 32))
+    tar = jnp.ones((2, 4), dtype=jnp.int32)
+    variables = model.init({"params": key, "dropout": key}, enc_output, tar, False, None)
+    return model, variables, enc_output
+
+
+@pytest.mark.parametrize("beam_n", [1, 4])
+def test_fused_beam_matches_xla(small_model, beam_n):
+    model, variables, enc = small_model
+    ref_seqs, ref_len, ref_scores = beam_search(
+        model, variables, enc,
+        beam_n=beam_n, max_len=MAX_LEN, start_token=START, end_token=END,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        f_seqs, f_len, f_scores = beam_search(
+            model, variables, enc,
+            beam_n=beam_n, max_len=MAX_LEN, start_token=START, end_token=END,
+            fused=True,
+        )
+    np.testing.assert_array_equal(np.asarray(ref_seqs), np.asarray(f_seqs))
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(f_len))
+    # fused path packs weights in bfloat16 → scores agree to bf16 precision only
+    np.testing.assert_allclose(
+        np.asarray(ref_scores), np.asarray(f_scores), rtol=5e-3
+    )

@@ -1,0 +1,107 @@
+"""Fused decoder-step Pallas kernel vs the XLA decode path (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpn_mt_image_captioning_tpu.models.positional import raw_positional_encoding
+from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+from fpn_mt_image_captioning_tpu.ops.fused_decoder import (
+    fused_decode_step,
+    init_fused_cache,
+    pack_decoder_weights,
+    round_up,
+)
+
+B, BEAM, D, H, NL, DFF, VOCAB = 2, 2, 32, 4, 2, 64, 40
+MAX_LEN = 7
+BK = B * BEAM
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    model = Transformer(
+        num_layers=NL, d_model=D, num_heads=H, dff=DFF,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=MAX_LEN + 1,
+    )
+    enc = jax.random.normal(rng, (B, 4, D))
+    tar = jnp.ones((B, 4), dtype=jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, enc, tar, False, None)
+    return model, variables, enc
+
+
+def test_fused_matches_xla_decode(setup, rng):
+    model, variables, enc = setup
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    lpad = round_up(MAX_LEN + 1, 8)
+
+    # XLA path: beam-tiled enc
+    enc_tiled = jnp.repeat(enc, BEAM, axis=0)
+    xla_cache = model.apply(variables, enc_tiled, lpad, method=Transformer.init_cache)
+    fused_cache = init_fused_cache(packed, enc, BEAM, MAX_LEN)
+    assert fused_cache["k_self"].shape == (NL, lpad, BK, D)
+
+    emb_table = np.asarray(params["decoder"]["embedding"]["embedding"])
+    pe = raw_positional_encoding(MAX_LEN + 1, D)
+
+    own = jnp.arange(BK, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(own[:, None], (BK, lpad))          # XLA: flat rows
+    src_local = jnp.broadcast_to((own % BEAM)[:, None], (BK, lpad))  # fused: in-group
+
+    tokens_per_step = jax.random.randint(rng, (4, BK), 1, VOCAB)
+    for t in range(4):
+        tokens = tokens_per_step[t]
+        # XLA reference step
+        xla_logits, xla_cache = model.apply(
+            variables, tokens, jnp.int32(t), xla_cache, src_flat,
+            method=Transformer.decode_step,
+        )
+        # fused step
+        x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
+        x_out, fused_cache = fused_decode_step(
+            packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
+            num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
+        )
+        fused_logits = (
+            x_out @ params["final_layer"]["kernel"] + params["final_layer"]["bias"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_logits), np.asarray(xla_logits), atol=2e-4,
+            err_msg=f"step {t}",
+        )
+
+        if t == 2:
+            # simulate a beam reorder: beam 1 adopts beam 0's ancestry
+            parent = jnp.array([0, 0, 0, 0], dtype=jnp.int32)  # all -> beam 0 of own group
+            group_base = (jnp.arange(BK) // BEAM) * BEAM
+            flat_parent = group_base + parent
+            src_flat = jnp.take(src_flat, flat_parent, axis=0)
+            src_flat = src_flat.at[:, t + 1].set(own)
+            src_local = jnp.take(src_local, flat_parent, axis=0)
+            src_local = src_local.at[:, t + 1].set(own % BEAM)
+
+
+def test_fused_cache_positions_written(setup, rng):
+    """The aliased HBM cache must contain the projected K rows at each position."""
+    model, variables, enc = setup
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    fused_cache = init_fused_cache(packed, enc, BEAM, MAX_LEN)
+    lpad = fused_cache["k_self"].shape[1]
+
+    x_emb = jax.random.normal(rng, (BK, D))
+    src_local = jnp.zeros((lpad, BK), jnp.int32)
+    x_out, fused_cache = fused_decode_step(
+        packed, fused_cache, x_emb, src_local, jnp.int32(0),
+        num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
+    )
+    # layer-0 K at position 0 == x_emb @ Wk + bk
+    wqkv, bqkv = np.asarray(packed["wqkv"][0]), np.asarray(packed["bqkv"][0, 0])
+    expect_k = np.asarray(x_emb) @ wqkv[:, D : 2 * D] + bqkv[D : 2 * D]
+    np.testing.assert_allclose(
+        np.asarray(fused_cache["k_self"][0, 0]), expect_k, atol=2e-4
+    )
+    # untouched positions stay zero
+    assert np.all(np.asarray(fused_cache["k_self"][0, 1]) == 0)
