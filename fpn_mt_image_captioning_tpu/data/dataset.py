@@ -77,6 +77,27 @@ def load_image(img_path: str, caption=None, image_size: int = 512):
     return arr, caption
 
 
+def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
+    """Batched decode+resize+normalize → (N, S, S, 3) float32.
+
+    Prefers the native C++ loader (runtime/image_loader.cc — half-pixel bilinear
+    like ``tf.image.resize``, the reference's semantics); per-image PIL fallback
+    for formats the native decoder doesn't handle (e.g. JPEG) or when the
+    toolchain is unavailable.
+    """
+    from ..runtime import native_loader
+
+    if native_loader.available():
+        out, ok = native_loader.decode_batch(paths, image_size, num_workers)
+        if not ok.all():
+            for i in np.nonzero(~ok)[0]:
+                out[i] = load_image(paths[i], None, image_size)[0]
+        return out
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        imgs = list(pool.map(lambda p: load_image(p, None, image_size)[0], paths))
+    return np.stack(imgs)
+
+
 class _Prefetcher:
     """Background-thread prefetch queue (replaces tf.data's AUTOTUNE prefetch)."""
 
@@ -168,21 +189,16 @@ class CocoCaptionDataset:
         self._epoch += 1
 
         def gen():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for start in range(0, len(order), self.batch_size):
-                    idxs = order[start : start + self.batch_size]
-                    if self.drop_remainder and len(idxs) < self.batch_size:
-                        break
-                    imgs = list(
-                        pool.map(
-                            lambda i: load_image(
-                                self.img_paths[i], None, self.image_size
-                            )[0],
-                            idxs,
-                        )
-                    )
-                    caps = self.captions_token[idxs]
-                    yield np.stack(imgs), caps
+            for start in range(0, len(order), self.batch_size):
+                idxs = order[start : start + self.batch_size]
+                if self.drop_remainder and len(idxs) < self.batch_size:
+                    break
+                imgs = load_image_batch(
+                    [self.img_paths[i] for i in idxs],
+                    self.image_size,
+                    self.num_workers,
+                )
+                yield imgs, self.captions_token[idxs]
 
         return _Prefetcher(gen(), depth=2)
 
@@ -286,18 +302,23 @@ class COCO_Images_ImageID:
         self.iterIndex += 1
         return self._load(imgId), imgId
 
+    def _path(self, imgId) -> str:
+        return os.path.join(
+            self.dataDir, "images", self.dataType,
+            self.coco.loadImgs(imgId)[0]["file_name"],
+        )
+
     def iter_batches(self, batch_size: int, num_workers: int = 16):
         """Yield ``(imgs [B,S,S,3], imgIds list, valid count)`` — last batch padded
         by repeating the final image so shapes stay static for XLA."""
         ids = self.imgIds[: self.max_len]
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            for start in range(0, len(ids), batch_size):
-                chunk = ids[start : start + batch_size]
-                imgs = list(pool.map(self._load, chunk))
-                valid = len(chunk)
-                while len(imgs) < batch_size:
-                    imgs.append(imgs[-1])
-                yield np.stack(imgs), chunk, valid
+        for start in range(0, len(ids), batch_size):
+            chunk = ids[start : start + batch_size]
+            paths = [self._path(i) for i in chunk]
+            while len(paths) < batch_size:
+                paths.append(paths[-1])
+            imgs = load_image_batch(paths, self.image_size, num_workers)
+            yield imgs, chunk, len(chunk)
 
 
 def store_additional_info(d: dict, filename: str) -> None:

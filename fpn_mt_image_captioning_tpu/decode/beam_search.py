@@ -100,8 +100,6 @@ def beam_search(
             raw_positional_encoding(model.max_seq_len + model.max_position, model.d_model),
             packed["wqkv"].dtype,
         )
-        w_final = jnp.asarray(params["final_layer"]["kernel"], packed["wqkv"].dtype)
-        b_final = jnp.asarray(params["final_layer"]["bias"], jnp.float32)
         srcT = jnp.broadcast_to(
             (jnp.arange(bk, dtype=jnp.int32) % beam_n)[None, :], (lpad, bk)
         )
@@ -143,31 +141,34 @@ def beam_search(
     def body(carry):
         t, tokens, scores, cache, src, seqs, finished = carry
         if fused:
+            # embedding + PE in XLA; everything else (6 layers + final vocab
+            # projection + log-softmax + freeze + score add) in ONE kernel
             pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
             x_emb = jnp.take(emb_table, tokens, axis=0) + pe_row
-            x_out, cache = fused_decode_step(
+            total_rows, cache = fused_decode_step(
                 packed, cache, x_emb, src, t,
+                scores.reshape(bk, 1), finished.reshape(bk, 1).astype(jnp.float32),
                 num_layers=model.num_layers, beam=beam_n,
                 num_heads=model.num_heads,
             )
-            logits = (
-                jnp.dot(x_out, w_final, preferred_element_type=jnp.float32)
-                + b_final[None, :]
-            )
+            vocab = total_rows.shape[-1]  # lane-padded; pad cols carry -1e9 bias
+            flat = total_rows.reshape(batch, beam_n * vocab)
         else:
             logits, cache = model.apply(
                 variables, tokens, t, cache, src, method=Transformer.decode_step
             )
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        vocab = log_probs.shape[-1]
-        log_probs = log_probs.reshape(batch, beam_n, vocab)
+            log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            vocab = log_probs.shape[-1]
+            log_probs = log_probs.reshape(batch, beam_n, vocab)
 
-        # freeze finished beams: only pad (id 0) continues, at zero added score
-        pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[0].set(0.0)
-        log_probs = jnp.where(finished[..., None], pad_row[None, None, :], log_probs)
+            # freeze finished beams: only pad (id 0) continues, at zero added score
+            pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[0].set(0.0)
+            log_probs = jnp.where(
+                finished[..., None], pad_row[None, None, :], log_probs
+            )
+            total = scores[..., None] + log_probs                  # (B, K, V)
+            flat = total.reshape(batch, beam_n * vocab)
 
-        total = scores[..., None] + log_probs                      # (B, K, V)
-        flat = total.reshape(batch, beam_n * vocab)
         new_scores, flat_idx = jax.lax.top_k(flat, beam_n)         # ties → lowest index
         beam_idx = flat_idx // vocab                               # (B, K)
         new_tokens = (flat_idx % vocab).astype(jnp.int32)          # (B, K)

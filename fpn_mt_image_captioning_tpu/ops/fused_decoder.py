@@ -101,7 +101,20 @@ def pack_decoder_weights(params: Any, num_layers: int, dtype=jnp.bfloat16) -> di
                 zeros_d, zeros_d,
             ]) for l in range(num_layers)
         ]).astype(jnp.float32),
+        # final vocabulary projection, vocab padded to a lane multiple; padded
+        # bias columns get -1e9 so they never win top-k and vanish in logsumexp
+        **_pack_final(params, dtype),
     }
+
+
+def _pack_final(params: Any, dtype) -> dict:
+    wf = jnp.asarray(params["final_layer"]["kernel"])
+    bf = jnp.asarray(params["final_layer"]["bias"], jnp.float32)
+    d, vocab = wf.shape
+    vp = round_up(vocab, 128)
+    wf_p = jnp.zeros((d, vp), dtype).at[:, :vocab].set(wf.astype(dtype))
+    bf_p = jnp.full((1, vp), -1e9, jnp.float32).at[0, :vocab].set(bf)
+    return {"wf": wf_p, "bf": bf_p}
 
 
 def init_fused_cache(
@@ -137,10 +150,14 @@ def _decoder_kernel(
     wcq_ref, bcq_ref, wco_ref, bco_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
     kv_cross_ref,            # (1, Lenc, B, 2d) VMEM
+    wf_ref,                  # (d, Vp) — final vocab projection (padded)
+    bf_ref,                  # (1, Vp) f32 — bias, padded cols = -1e9
+    scores_ref,              # (BK, 1) f32 — running beam log-prob scores
+    fin_ref,                 # (BK, 1) f32 — 1.0 where beam already finished
     k_self_hbm,              # (N, Lpad, BK, d) ANY/HBM — aliased with output
     v_self_hbm,
     # outputs
-    x_out_ref,               # (BK, d) VMEM
+    total_ref,               # (BK, Vp) f32 — scores + frozen log-probs
     k_self_out,              # aliased full-array ANY ref
     v_self_out,
     # scratch
@@ -175,141 +192,183 @@ def _decoder_kernel(
         yn = (y_f32 - mu) * jax.lax.rsqrt(var + 1e-6)
         return yn * scale_row[None, :] + bias_row[None, :]
 
-    x = x_s[:]
-    dtype = x.dtype
+    dtype = x_s.dtype
 
-    # ---- self-attention: projections + cache write --------------------------
-    qkv = jnp.dot(x, wqkv_ref[0], preferred_element_type=f32) + bqkv_ref[0]
-    qkv = qkv.astype(dtype)
-    q = qkv[:, :d]
-    row_s[0, :, :] = qkv[:, d : 2 * d]   # k_t
-    row_s[1, :, :] = qkv[:, 2 * d :]     # v_t
+    def _run_layer():
+        x = x_s[:]
+        # ---- self-attention: projections + cache write ----------------------
+        qkv = jnp.dot(x, wqkv_ref[0], preferred_element_type=f32) + bqkv_ref[0]
+        qkv = qkv.astype(dtype)
+        q = qkv[:, :d]
+        row_s[0, :, :] = qkv[:, d : 2 * d]   # k_t
+        row_s[1, :, :] = qkv[:, 2 * d :]     # v_t
 
-    kw = pltpu.make_async_copy(
-        row_s.at[0], k_self_out.at[layer, pos], sem.at[0]
-    )
-    vw = pltpu.make_async_copy(
-        row_s.at[1], v_self_out.at[layer, pos], sem.at[1]
-    )
-    kw.start()
-    vw.start()
-    kw.wait()
-    vw.wait()
-
-    # slot-validity mask over cache positions
-    pos_idx = jax.lax.broadcasted_iota(jnp.int32, (lpad, 1), 0)
-    invalid = pos_idx > pos  # (Lpad, 1) bool
-
-    g = tile // beam       # beam groups per tile
-    n_tiles = bk // tile
-
-    # Head-segment indicator matrices (the Mosaic-safe way to do per-head
-    # contractions without lane-dim reshapes): S[dd, j] = 1 iff lane dd belongs
-    # to head j; logits-per-head = (q ⊙ k) @ S, lane-expansion = w @ Sᵀ.
-    hp = 128  # padded head axis (≥ num_heads, MXU-friendly)
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (d, hp), 0) // dh
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (d, hp), 1)
-    S = (lane_head == col_head).astype(dtype)          # (d, 128)
-    ST = (
-        jax.lax.broadcasted_iota(jnp.int32, (hp, d), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (hp, d), 1) // dh
-    ).astype(dtype)                                    # (128, d)
-
-    q_scaled = (q.astype(f32) * scale).astype(dtype)
-
-    for ti in range(n_tiles):
-        r0 = ti * tile
-        kr = pltpu.make_async_copy(
-            k_self_out.at[layer, :, pl.ds(r0, tile), :], k_tile_s, sem.at[2]
+        kw = pltpu.make_async_copy(
+            row_s.at[0], k_self_out.at[layer, pos], sem.at[0]
         )
-        vr = pltpu.make_async_copy(
-            v_self_out.at[layer, :, pl.ds(r0, tile), :], v_tile_s, sem.at[3]
+        vw = pltpu.make_async_copy(
+            row_s.at[1], v_self_out.at[layer, pos], sem.at[1]
         )
-        kr.start()
-        vr.start()
-        kr.wait()
-        vr.wait()
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
 
-        # ancestry gather as a one-hot batched matmul over the beam group
-        oh_t = oh_ref[ti]                                   # (L·g, beam, beam)
-        k_grp = k_tile_s[:].reshape(lpad * g, beam, d)
-        v_grp = v_tile_s[:].reshape(lpad * g, beam, d)
-        dn = (((2,), (1,)), ((0,), (0,)))
-        k_eff = jax.lax.dot_general(oh_t, k_grp, dn, preferred_element_type=f32).astype(dtype)
-        v_eff = jax.lax.dot_general(oh_t, v_grp, dn, preferred_element_type=f32)
+        # slot-validity mask over cache positions
+        pos_idx = jax.lax.broadcasted_iota(jnp.int32, (lpad, 1), 0)
+        invalid = pos_idx > pos  # (Lpad, 1) bool
 
-        # per-head logits via segment matmul: (L·g·beam, d) @ (d, 128)
-        q_g = q_scaled[r0 : r0 + tile, :].reshape(g, beam, d)
-        q_bc = jnp.broadcast_to(q_g[None], (lpad, g, beam, d))
-        prod = q_bc * k_eff.reshape(lpad, g, beam, d)
-        lg = jnp.dot(
-            prod.reshape(lpad * g * beam, d), S, preferred_element_type=f32
-        ).reshape(lpad, g, beam, hp)
+        g = tile // beam       # beam groups per tile
+        n_tiles = bk // tile
 
-        inv4 = jax.lax.broadcasted_iota(jnp.int32, (lpad, g, beam, hp), 0) > pos
-        lg = jnp.where(inv4, -1e9, lg)
-        m = jnp.max(lg, axis=0, keepdims=True)
-        e = jnp.exp(lg - m)
-        w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, g, q, 128) f32
+        # Head-segment indicator matrices (the Mosaic-safe way to do per-head
+        # contractions without lane-dim reshapes): S[dd, j] = 1 iff lane dd
+        # belongs to head j; logits-per-head = (q ⊙ k) @ S, expansion = w @ Sᵀ.
+        hp = 128  # padded head axis (≥ num_heads, MXU-friendly)
+        S = (
+            jax.lax.broadcasted_iota(jnp.int32, (d, hp), 0) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (d, hp), 1)
+        ).astype(dtype)
+        ST = (
+            jax.lax.broadcasted_iota(jnp.int32, (hp, d), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (hp, d), 1) // dh
+        ).astype(dtype)
 
-        # expand per-head weights back over lanes and contract positions
-        w_d = jnp.dot(
-            w.reshape(lpad * g * beam, hp).astype(dtype), ST,
-            preferred_element_type=f32,
-        ).reshape(lpad, g, beam, d)
-        ctx = (w_d * v_eff.reshape(lpad, g, beam, d)).sum(0)  # (g, beam, d) f32
-        ctx_s[r0 : r0 + tile, :] = ctx.reshape(tile, d).astype(dtype)
+        q_scaled = (q.astype(f32) * scale).astype(dtype)
 
-    ln = ln_ref[0]  # (8, d) f32
-    attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
-    out1 = layer_norm(attn + x.astype(f32), ln[0], ln[1])
-    out1_b = out1.astype(dtype)
+        # K/V history reads are chunked over positions and fetched only while
+        # the chunk contains valid slots (chunk_start <= pos) — early decode
+        # steps read a fraction of the cache instead of all Lpad slots,
+        # halving average HBM traffic over a full generation. Skipped chunks
+        # leave stale scratch; those positions are masked with -1e9 before the
+        # softmax, so their (finite garbage) logits never contribute.
+        chunk = 8
+        n_chunks = lpad // chunk
 
-    # ---- cross-attention (K/V shared per batch item, (Lenc, B, 2d) layout) --
-    q2 = jnp.dot(out1_b, wcq_ref[0], preferred_element_type=f32) + bcq_ref[0]
-    q2 = (q2 * scale).astype(dtype)
-    kv_x = kv_cross_ref[0]                     # (Lenc, B, 2d)
-    lenc, b_items = kv_x.shape[0], kv_x.shape[1]
-    k_x = kv_x[:, :, :d]                       # (Lenc, B, d)
-    v_x = kv_x[:, :, d:]
-    # replicate each batch item's K/V over its beams (rows are batch-major):
-    # one-hot expansion matmul E[r, b] = (r // beam == b), batched over Lenc
-    # (pltpu.repeat is tile-order, not element-repeat, so it can't be used here)
-    E = (
-        jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 0) // beam
-        == jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 1)
-    ).astype(dtype)
-    E_bc = jnp.broadcast_to(E[None], (lenc, bk, b_items))
-    dn_e = (((2,), (1,)), ((0,), (0,)))
-    k_bc = jax.lax.dot_general(E_bc, k_x, dn_e, preferred_element_type=f32).astype(dtype)
-    v_bc = jax.lax.dot_general(E_bc, v_x, dn_e, preferred_element_type=f32).astype(dtype)
-    prod2 = jnp.broadcast_to(q2[None], (lenc, bk, d)) * k_bc
-    lg2 = jnp.dot(
-        prod2.reshape(lenc * bk, d), S, preferred_element_type=f32
-    ).reshape(lenc, bk, hp)
-    m2 = jnp.max(lg2, axis=0, keepdims=True)
-    e2 = jnp.exp(lg2 - m2)
-    w2a = e2 / jnp.sum(e2, axis=0, keepdims=True)
-    w2d = jnp.dot(
-        w2a.reshape(lenc * bk, hp).astype(dtype), ST, preferred_element_type=f32
-    ).reshape(lenc, bk, d)
-    ctx2 = (w2d * v_bc.astype(f32)).sum(0).astype(dtype)      # (BK, d)
+        for ti in range(n_tiles):
+            r0 = ti * tile
+            for c in range(n_chunks):
+                c0 = c * chunk
 
-    attn2 = jnp.dot(ctx2, wco_ref[0], preferred_element_type=f32) + bco_ref[0]
-    out2 = layer_norm(attn2 + out1, ln[2], ln[3])
-    out2_b = out2.astype(dtype)
+                @pl.when(c0 <= pos)
+                def _(c0=c0, c=c):
+                    kc = pltpu.make_async_copy(
+                        k_self_out.at[layer, pl.ds(c0, chunk), pl.ds(r0, tile), :],
+                        k_tile_s.at[pl.ds(c0, chunk)],
+                        sem.at[2],
+                    )
+                    vc = pltpu.make_async_copy(
+                        v_self_out.at[layer, pl.ds(c0, chunk), pl.ds(r0, tile), :],
+                        v_tile_s.at[pl.ds(c0, chunk)],
+                        sem.at[3],
+                    )
+                    kc.start()
+                    vc.start()
+                    kc.wait()
+                    vc.wait()
 
-    # ---- FFN ----------------------------------------------------------------
-    hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
-    hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)     # leaky_relu(0.2)
-    ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
-    out3 = layer_norm(ffn + out2, ln[4], ln[5])
+            # ancestry gather as a one-hot batched matmul over the beam group
+            oh_t = oh_ref[ti]                                   # (L·g, beam, beam)
+            k_grp = k_tile_s[:].reshape(lpad * g, beam, d)
+            v_grp = v_tile_s[:].reshape(lpad * g, beam, d)
+            dn = (((2,), (1,)), ((0,), (0,)))
+            k_eff = jax.lax.dot_general(
+                oh_t, k_grp, dn, preferred_element_type=f32
+            ).astype(dtype)
+            v_eff = jax.lax.dot_general(oh_t, v_grp, dn, preferred_element_type=f32)
 
-    x_s[:] = out3.astype(dtype)
+            # per-head logits via head-segment matmul (q ⊙ k) @ S — faster here
+            # than a per-head lane-slice loop despite the redundant FLOPs: one
+            # big MXU op beats 8 poorly-shaped VPU loops
+            q_g = q_scaled[r0 : r0 + tile, :].reshape(g, beam, d)
+            q_bc = jnp.broadcast_to(q_g[None], (lpad, g, beam, d))
+            prod = q_bc * k_eff.reshape(lpad, g, beam, d)
+            lg = jnp.dot(
+                prod.reshape(lpad * g * beam, d), S, preferred_element_type=f32
+            ).reshape(lpad, g, beam, hp)
 
-    @pl.when(layer == num_layers - 1)
-    def _():
-        x_out_ref[:] = x_s[:]
+            inv4 = jax.lax.broadcasted_iota(jnp.int32, (lpad, g, beam, hp), 0) > pos
+            lg = jnp.where(inv4, -1e9, lg)
+            m = jnp.max(lg, axis=0, keepdims=True)
+            e = jnp.exp(lg - m)
+            w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, g, q, 128) f32
+
+            # expand per-head weights back over lanes and contract positions
+            w_d = jnp.dot(
+                w.reshape(lpad * g * beam, hp).astype(dtype), ST,
+                preferred_element_type=f32,
+            ).reshape(lpad, g, beam, d)
+            ctx = (w_d * v_eff.reshape(lpad, g, beam, d)).sum(0)  # (g, beam, d) f32
+            ctx_s[r0 : r0 + tile, :] = ctx.reshape(tile, d).astype(dtype)
+
+        ln = ln_ref[0]  # (8, d) f32
+        attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
+        out1 = layer_norm(attn + x.astype(f32), ln[0], ln[1])
+        out1_b = out1.astype(dtype)
+
+        # ---- cross-attention (K/V shared per batch item, (Lenc, B, 2d) layout) --
+        q2 = jnp.dot(out1_b, wcq_ref[0], preferred_element_type=f32) + bcq_ref[0]
+        q2 = (q2 * scale).astype(dtype)
+        kv_x = kv_cross_ref[0]                     # (Lenc, B, 2d)
+        lenc, b_items = kv_x.shape[0], kv_x.shape[1]
+        k_x = kv_x[:, :, :d]                       # (Lenc, B, d)
+        v_x = kv_x[:, :, d:]
+        # replicate each batch item's K/V over its beams (rows are batch-major):
+        # one-hot expansion matmul E[r, b] = (r // beam == b), batched over Lenc
+        # (pltpu.repeat is tile-order, not element-repeat, so it can't be used here)
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 0) // beam
+            == jax.lax.broadcasted_iota(jnp.int32, (bk, b_items), 1)
+        ).astype(dtype)
+        E_bc = jnp.broadcast_to(E[None], (lenc, bk, b_items))
+        dn_e = (((2,), (1,)), ((0,), (0,)))
+        k_bc = jax.lax.dot_general(E_bc, k_x, dn_e, preferred_element_type=f32).astype(dtype)
+        v_bc = jax.lax.dot_general(E_bc, v_x, dn_e, preferred_element_type=f32)
+        prod2 = jnp.broadcast_to(q2[None], (lenc, bk, d)) * k_bc
+        lg2 = jnp.dot(
+            prod2.reshape(lenc * bk, d), S, preferred_element_type=f32
+        ).reshape(lenc, bk, hp)
+        m2 = jnp.max(lg2, axis=0, keepdims=True)
+        e2 = jnp.exp(lg2 - m2)
+        w2a = e2 / jnp.sum(e2, axis=0, keepdims=True)
+        w2d = jnp.dot(
+            w2a.reshape(lenc * bk, hp).astype(dtype), ST, preferred_element_type=f32
+        ).reshape(lenc, bk, d)
+        ctx2 = (w2d * v_bc.astype(f32)).sum(0).astype(dtype)      # (BK, d)
+
+        attn2 = jnp.dot(ctx2, wco_ref[0], preferred_element_type=f32) + bco_ref[0]
+        out2 = layer_norm(attn2 + out1, ln[2], ln[3])
+        out2_b = out2.astype(dtype)
+
+        # ---- FFN ----------------------------------------------------------------
+        hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
+        hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)     # leaky_relu(0.2)
+        ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
+        out3 = layer_norm(ffn + out2, ln[4], ln[5])
+
+        x_s[:] = out3.astype(dtype)
+
+    @pl.when(layer < num_layers)
+    def _layer_body():
+        _run_layer()
+
+    @pl.when(layer == num_layers)
+    def _final_cell():
+        # vocabulary projection + log-softmax + beam freeze + score add,
+        # all folded into the last grid step (saves ~8 XLA ops per token)
+        xf = x_s[:]
+        logits = jnp.dot(xf, wf_ref[:], preferred_element_type=f32) + bf_ref[0]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+        lp = logits - lse
+        vp = logits.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bk, vp), 1)
+        pad_row = jnp.where(col == 0, 0.0, -1e9)
+        fin = fin_ref[:]
+        lp = fin * pad_row + (1.0 - fin) * lp
+        total_ref[:] = lp + scores_ref[:]
+
+
 
 
 @functools.partial(
@@ -322,6 +381,8 @@ def fused_decode_step(
     x_emb: jax.Array,     # (BK, d) — token embedding + positional encoding
     src_t: jax.Array,     # (Lpad, BK) int32, values 0..beam-1 (transposed ancestry)
     pos: jax.Array,       # scalar int32
+    scores: jax.Array,    # (BK, 1) f32 — running beam scores
+    finished: jax.Array,  # (BK, 1) f32 — 1.0 where beam finished
     *,
     num_layers: int,
     beam: int,
@@ -329,14 +390,17 @@ def fused_decode_step(
     tile: int = 64,
     interpret: bool = False,
 ):
-    """All decoder layers for one position in one kernel. Returns
-    (x_out (BK, d), new_cache); self caches are updated via buffer aliasing."""
+    """All decoder layers + final vocab projection + log-softmax + beam freeze
+    for one position, in one kernel (grid = num_layers + 1). Returns
+    (total (BK, Vp) f32 = scores + frozen log-probs, new_cache); self caches are
+    updated in place via buffer aliasing."""
     bk, d = x_emb.shape
     n = num_layers
     lpad = cache["k_self"].shape[1]
     dtype = packed["wqkv"].dtype
     dff = packed["w1"].shape[-1]
     lenc, b_items = cache["kv_cross"].shape[1:3]
+    vp = packed["wf"].shape[-1]
     tile = min(tile, bk)
     while bk % tile or tile % beam:
         tile -= 1
@@ -349,33 +413,42 @@ def fused_decode_step(
     oh = oh.reshape(lpad, n_tiles, g, beam, beam)
     oh = oh.transpose(1, 0, 2, 3, 4).reshape(n_tiles, lpad * g, beam, beam)
 
+    nl = n - 1  # weight blocks clamp to the last layer on the final grid cell
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(n + 1,),
         in_specs=[
             pl.BlockSpec((bk, d), lambda l, *_: (0, 0)),            # x_in
             pl.BlockSpec(
                 (n_tiles, lpad * g, beam, beam), lambda l, *_: (0, 0, 0, 0)
             ),                                                      # oh
-            pl.BlockSpec((1, d, 3 * d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, 3 * d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, d, dff), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, dff), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, dff, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 8, d), lambda l, *_: (l, 0, 0)),
-            pl.BlockSpec((1, lenc, b_items, 2 * d), lambda l, *_: (l, 0, 0, 0)),
+            pl.BlockSpec((1, d, 3 * d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, 3 * d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, d, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, d, dff), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, dff), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, dff, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
+            pl.BlockSpec(
+                (1, lenc, b_items, 2 * d),
+                lambda l, *_: (jnp.minimum(l, nl), 0, 0, 0),
+            ),
+            pl.BlockSpec((d, vp), lambda l, *_: (0, 0)),            # wf
+            pl.BlockSpec((1, vp), lambda l, *_: (0, 0)),            # bf
+            pl.BlockSpec((bk, 1), lambda l, *_: (0, 0)),            # scores
+            pl.BlockSpec((bk, 1), lambda l, *_: (0, 0)),            # finished
             pl.BlockSpec(memory_space=pltpu.ANY),               # k_self (full)
             pl.BlockSpec(memory_space=pltpu.ANY),               # v_self (full)
         ],
         out_specs=[
-            pl.BlockSpec((bk, d), lambda l, *_: (0, 0)),
+            pl.BlockSpec((bk, vp), lambda l, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -394,16 +467,16 @@ def fused_decode_step(
         num_layers=n, beam=beam, num_heads=num_heads, tile=tile,
     )
 
-    x_out, k_new, v_new = pl.pallas_call(
+    total, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bk, d), dtype),
+            jax.ShapeDtypeStruct((bk, vp), jnp.float32),
             jax.ShapeDtypeStruct(cache["k_self"].shape, dtype),
             jax.ShapeDtypeStruct(cache["v_self"].shape, dtype),
         ],
         # alias self caches: input operand index (incl. scalar prefetch) → output
-        input_output_aliases={17: 1, 18: 2},
+        input_output_aliases={21: 1, 22: 2},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -416,7 +489,9 @@ def fused_decode_step(
         packed["wcq"], packed["bcq"], packed["wco"], packed["bco"],
         packed["w1"], packed["b1"], packed["w2"], packed["b2"], packed["ln"],
         cache["kv_cross"],
+        packed["wf"], packed["bf"],
+        scores.astype(jnp.float32), finished.astype(jnp.float32),
         cache["k_self"], cache["v_self"],
     )
     new_cache = {"k_self": k_new, "v_self": v_new, "kv_cross": cache["kv_cross"]}
-    return x_out, new_cache
+    return total, new_cache

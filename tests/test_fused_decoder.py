@@ -58,19 +58,20 @@ def test_fused_matches_xla_decode(setup, rng):
             variables, tokens, jnp.int32(t), xla_cache, src_flat,
             method=Transformer.decode_step,
         )
-        # fused step
+        # fused step (zero scores / nothing finished → total == log-softmax)
         x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
-        x_out, fused_cache = fused_decode_step(
+        total, fused_cache = fused_decode_step(
             packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
+            jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
             num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
         )
-        fused_logits = (
-            x_out @ params["final_layer"]["kernel"] + params["final_layer"]["bias"]
-        )
+        expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
         np.testing.assert_allclose(
-            np.asarray(fused_logits), np.asarray(xla_logits), atol=2e-4,
+            np.asarray(total[:, :VOCAB]), expected, atol=3e-4,
             err_msg=f"step {t}",
         )
+        # lane-padded vocab columns must never win top-k
+        assert np.all(np.asarray(total[:, VOCAB:]) < -1e8)
 
         if t == 2:
             # simulate a beam reorder: beam 1 adopts beam 0's ancestry
@@ -93,8 +94,9 @@ def test_fused_cache_positions_written(setup, rng):
 
     x_emb = jax.random.normal(rng, (BK, D))
     src_local = jnp.zeros((lpad, BK), jnp.int32)
-    x_out, fused_cache = fused_decode_step(
+    _total, fused_cache = fused_decode_step(
         packed, fused_cache, x_emb, src_local, jnp.int32(0),
+        jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
         num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
     )
     # layer-0 K at position 0 == x_emb @ Wk + bk
