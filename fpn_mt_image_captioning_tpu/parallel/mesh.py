@@ -46,8 +46,8 @@ _TP_RULES: list[tuple[str, P]] = [
     (r".*/ffn1/bias$", P("model")),
     (r".*/ffn2/kernel$", P("model", None)),
     (r".*/ffn2/bias$", P()),
-    (r".*/final_layer/kernel$", P(None, "model")),
-    (r".*/final_layer/bias$", P("model")),
+    (r"(.*/)?final_layer/kernel$", P(None, "model")),
+    (r"(.*/)?final_layer/bias$", P("model")),
 ]
 
 

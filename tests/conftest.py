@@ -23,6 +23,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
+# persistent compile cache makes repeated suite runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

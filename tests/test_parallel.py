@@ -1,0 +1,90 @@
+"""Sharding tests on the virtual 8-device CPU mesh: mesh construction, TP
+partition rules, and sharded-vs-single-device train-step equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from fpn_mt_image_captioning_tpu.config import MeshConfig
+from fpn_mt_image_captioning_tpu.parallel.mesh import make_mesh, param_spec
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data_axis_size=-1, model_axis_size=2))
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+    with pytest.raises(AssertionError):
+        make_mesh(MeshConfig(data_axis_size=3, model_axis_size=2))
+
+
+def test_tp_partition_rules():
+    assert param_spec("decoder/layer_0/mha1/wq/kernel") == P(None, "model")
+    assert param_spec("decoder/layer_0/mha1/out/kernel") == P("model", None)
+    assert param_spec("decoder/layer_0/ffn/ffn1/kernel") == P(None, "model")
+    assert param_spec("decoder/layer_0/ffn/ffn2/kernel") == P("model", None)
+    assert param_spec("encoder/layer_2/mva/wq") == P(None, None, "model")
+    assert param_spec("encoder/kv_proj") == P(None, None, None, "model")
+    assert param_spec("final_layer/kernel") == P(None, "model")
+    # conv / LN / embedding stay replicated
+    assert param_spec("encoder/feature_extractor/fpn/P3/kernel") == P()
+    assert param_spec("decoder/embedding/embedding") == P()
+    assert param_spec("anything", tp=False) == P()
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device(rng):
+    """One DP×TP-sharded step must produce the same loss and parameters as the
+    plain single-device step (same data, deterministic dropout)."""
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.parallel.train import (
+        make_sharded_train_step,
+        shard_state,
+    )
+    from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
+    from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule, make_optimizer
+
+    model = Transformer(
+        num_layers=2, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=256, target_vocab_size=50, max_seq_len=8, rate=0.0,
+    )
+    batch, seq = 8, 8
+    img = jax.random.normal(rng, (batch, 256, 256, 3)) * 0.1
+    caps = jax.random.randint(rng, (batch, seq), 1, 50)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, img, caps[:, :-1], True,
+        create_masks(caps[:, :-1]),
+    )
+    optimizer = make_optimizer(custom_schedule(64, 10))
+    state0 = TrainState(
+        variables["params"], variables.get("batch_stats", {}),
+        optimizer.init(variables["params"]), jnp.int32(0),
+    )
+
+    # shard onto the 8-device mesh FIRST: device_put onto a single device is a
+    # no-op alias, and the train step donates its state — placing the 8-way
+    # copy first keeps state0 alive for both paths
+    # the train step donates its state and device_put may alias replicated
+    # buffers — give each path its own deep copy
+    copy_state = lambda s: jax.tree.map(lambda x: jnp.array(x, copy=True), s)
+
+    mesh = make_mesh(MeshConfig(data_axis_size=4, model_axis_size=2))
+    s8, sh8 = shard_state(mesh, copy_state(state0), tp=True)
+    step8 = make_sharded_train_step(mesh, model, optimizer, sh8)
+
+    # single-device reference step (same math on a 1×1 mesh)
+    mesh1 = make_mesh(MeshConfig(data_axis_size=1, model_axis_size=1),
+                      devices=jax.devices()[:1])
+    s1, sh1 = shard_state(mesh1, copy_state(state0), tp=False)
+    step1 = make_sharded_train_step(mesh1, model, optimizer, sh1)
+    ref_state, ref_loss = step1(s1, img, caps)
+
+    new_state, loss = step8(s8, img, caps)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    a = jax.tree.leaves(ref_state.params)
+    b = jax.tree.leaves(new_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
