@@ -108,6 +108,11 @@ class Pipeline:
         if restored is not None:
             self.state = TrainState(*restored) if not isinstance(restored, TrainState) else restored
             print("Latest checkpoint restored!!")
+        elif cfg.retinanet_weight_path:
+            # reference parity: boot the feature extractor from the pretrained
+            # COCO mobilenet-retinanet (models/retinanet.py:277-278)
+            report = self.load_pretrained_retinanet(cfg.retinanet_weight_path)
+            print(f"Loaded pretrained retinanet weights: {report!r}")
 
         self._train_step = self._build_train_step()
 
@@ -238,6 +243,28 @@ class Pipeline:
         """Single-image result list (reference ``pipeline.py:177-194``)."""
         seqs, lengths = self.predict_batch(np.asarray(img)[None])
         return [{"image_id": 0, "caption": self._to_caption(seqs[0], lengths[0])}]
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release checkpoint-manager resources (background threads)."""
+        self.ckpt_manager.close()
+
+    def load_pretrained_retinanet(self, h5_path: str):
+        """Import a Keras mobilenet-retinanet ``.h5`` (the reference's pretrained
+        COCO detector — ``models/retinanet.py:277``) into the feature extractor.
+        Returns the import report."""
+        from ..utils.weight_import import import_retinanet_weights
+
+        new_vars, report = import_retinanet_weights(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            h5_path,
+            n_conv_submodule=self.config.n_conv_submodule,
+        )
+        self.state = self.state._replace(
+            params=new_vars["params"],
+            batch_stats=new_vars.get("batch_stats", self.state.batch_stats),
+        )
+        return report
 
     # ------------------------------------------------------------------
     def save_weights(self, path: str) -> None:

@@ -41,3 +41,15 @@ def rng():
 @pytest.fixture()
 def np_rng():
     return np.random.default_rng(0)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # diagnose any non-daemon threads that would block interpreter exit
+    import sys
+    import threading
+
+    stray = [t for t in threading.enumerate()
+             if t is not threading.main_thread() and not t.daemon]
+    if stray:
+        print(f"\n[conftest] non-daemon threads at exit: {[t.name for t in stray]}",
+              file=sys.stderr)

@@ -1,0 +1,130 @@
+"""TF .h5 weight import: synthesize a Keras-layout HDF5 and verify values land
+on the right Flax leaves (backbone convs/BN, depthwise transpose, FPN, trunks)."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax
+import jax.numpy as jnp
+
+from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+from fpn_mt_image_captioning_tpu.models.positional import create_masks
+from fpn_mt_image_captioning_tpu.utils.weight_import import import_retinanet_weights
+
+
+def write_keras_h5(path, layers: dict[str, dict[str, np.ndarray]]):
+    """Emulates Keras save_weights layout: layer groups + attrs."""
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n in layers])
+        for lname, weights in layers.items():
+            g = f.create_group(lname)
+            wnames = []
+            for wn, arr in weights.items():
+                full = f"{lname}/{wn}"
+                g.create_dataset(full, data=arr)
+                wnames.append(full.encode())
+            g.attrs["weight_names"] = np.array(wnames)
+
+
+@pytest.fixture(scope="module")
+def variables(rng):
+    model = Transformer(
+        num_layers=1, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=256, target_vocab_size=50, max_seq_len=8,
+    )
+    img = jnp.zeros((1, 256, 256, 3))
+    tar = jnp.ones((1, 4), dtype=jnp.int32)
+    return model.init({"params": rng, "dropout": rng}, img, tar, True, create_masks(tar))
+
+
+def test_import_maps_backbone_fpn_and_trunks(variables, tmp_path, np_rng):
+    r = lambda *s: np_rng.standard_normal(s).astype(np.float32)
+    layers = {
+        "Conv1": {"kernel:0": r(3, 3, 3, 32)},
+        "bn_Conv1": {
+            "gamma:0": r(32), "beta:0": r(32),
+            "moving_mean:0": r(32), "moving_variance:0": np.abs(r(32)),
+        },
+        # expanded_conv (flat block 0) — depthwise kernel arrives (H, W, C, 1)
+        "expanded_conv_depthwise": {"depthwise_kernel:0": r(3, 3, 32, 1)},
+        "expanded_conv_project": {"kernel:0": r(1, 1, 32, 16)},
+        # flat block 3 → our group 2, block 0 (first c=32 block)
+        "block_3_expand": {"kernel:0": r(1, 1, 24, 144)},
+        "Conv_1": {"kernel:0": r(1, 1, 320, 1280)},
+        "C5_reduced": {"kernel:0": r(1, 1, 1280, 256), "bias:0": r(256)},
+        "P3": {"kernel:0": r(3, 3, 256, 256), "bias:0": r(256)},
+        "conv2d_38": {"kernel:0": r(3, 3, 256, 256)},  # unnamed P6 conv
+        "conv2d_39": {"kernel:0": r(3, 3, 256, 256)},  # unnamed P7 conv
+        "pyramid_regression_0": {"kernel:0": r(3, 3, 256, 256), "bias:0": r(256)},
+        "pyramid_classification_1": {"kernel:0": r(3, 3, 256, 256), "bias:0": r(256)},
+    }
+    path = str(tmp_path / "coco.h5")
+    write_keras_h5(path, layers)
+
+    new_vars, report = import_retinanet_weights(variables, path)
+    fe = new_vars["params"]["encoder"]["feature_extractor"]
+    fe_stats = new_vars["batch_stats"]["encoder"]["feature_extractor"]
+
+    np.testing.assert_array_equal(
+        fe["backbone"]["stem"]["conv"]["kernel"], layers["Conv1"]["kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        fe_stats["backbone"]["stem"]["bn"]["mean"], layers["bn_Conv1"]["moving_mean:0"]
+    )
+    np.testing.assert_array_equal(
+        fe["backbone"]["stem"]["bn"]["scale"], layers["bn_Conv1"]["gamma:0"]
+    )
+    # depthwise kernel transposed (H, W, C, 1) → (H, W, 1, C)
+    np.testing.assert_array_equal(
+        fe["backbone"]["block_0_0"]["depthwise"]["conv"]["kernel"],
+        np.transpose(layers["expanded_conv_depthwise"]["depthwise_kernel:0"], (0, 1, 3, 2)),
+    )
+    np.testing.assert_array_equal(
+        fe["backbone"]["block_0_0"]["project"]["conv"]["kernel"],
+        layers["expanded_conv_project"]["kernel:0"],
+    )
+    # keras flat block 3 → group 2 block 0
+    np.testing.assert_array_equal(
+        fe["backbone"]["block_2_0"]["expand"]["conv"]["kernel"],
+        layers["block_3_expand"]["kernel:0"],
+    )
+    np.testing.assert_array_equal(
+        fe["fpn"]["C5_reduced"]["kernel"], layers["C5_reduced"]["kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        fe["fpn"]["P6_conv"]["kernel"], layers["conv2d_38"]["kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        fe["fpn"]["P7_conv"]["kernel"], layers["conv2d_39"]["kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        fe["regression_trunk"]["conv_0"]["kernel"],
+        layers["pyramid_regression_0"]["kernel:0"],
+    )
+    np.testing.assert_array_equal(
+        fe["classification_trunk"]["conv_1"]["kernel"],
+        layers["pyramid_classification_1"]["kernel:0"],
+    )
+
+    assert len(report.matched) >= 15
+    # untouched leaves stay identical to the fresh initialization
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["decoder"]["embedding"]["embedding"]),
+        np.asarray(variables["params"]["decoder"]["embedding"]["embedding"]),
+    )
+
+
+def test_import_shape_mismatch_is_reported_not_fatal(variables, tmp_path, np_rng):
+    layers = {
+        "Conv1": {"kernel:0": np_rng.standard_normal((3, 3, 3, 99)).astype(np.float32)},
+    }
+    path = str(tmp_path / "bad.h5")
+    write_keras_h5(path, layers)
+    new_vars, report = import_retinanet_weights(variables, path)
+    assert any("Conv1" in m for m in report.missed)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["encoder"]["feature_extractor"]["backbone"]["stem"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["feature_extractor"]["backbone"]["stem"]["conv"]["kernel"]),
+    )
