@@ -48,6 +48,8 @@ from .tokenizer import (
 __all__ = [
     "load_image",
     "get_coco_images_dataset",
+    "get_coco_images_captions_generator",
+    "load_image_batch",
     "CocoCaptionDataset",
     "COCO_Images_ImageID",
     "store_additional_info",
@@ -258,6 +260,32 @@ def get_coco_images_dataset(
         seed=cfg.seed,
     )
     return dataset, max_seq_len, set_len
+
+
+def get_coco_images_captions_generator(
+    dataDir: str, dataType: str, config: Config | None = None
+):
+    """Yield ``(img, [tokenized caption, ...])`` per image — the reference's
+    validation generator (``dataset.py:149-190``). Requires a fitted tokenizer
+    at ``config.tokenizer_filename``."""
+    cfg = config or Config()
+    coco = COCO(f"{dataDir}/annotations/captions_{dataType}.json")
+
+    tokenizer_file = Path(cfg.tokenizer_filename)
+    if not tokenizer_file.is_file():
+        raise FileNotFoundError(f"tokenizer is not yet created in {cfg.tokenizer_filename}")
+    tokenizer = load_tokenizer_from_path(tokenizer_file)
+
+    for imgId in coco.getImgIds():
+        anns = [a for a in coco.loadAnns(coco.getAnnIds(imgIds=imgId))
+                if a["caption"] != " "]
+        captions = ["<start> " + a["caption"] + " <end>" for a in anns]
+        captions_token = tokenizer.texts_to_sequences(captions)
+        img_path = os.path.join(
+            dataDir, "images", dataType, coco.loadImgs(imgId)[0]["file_name"]
+        )
+        img, _ = load_image(img_path, None, cfg.image_input_size)
+        yield img, captions_token
 
 
 class COCO_Images_ImageID:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["masked_sparse_ce", "focal_loss", "smooth_l1_loss"]
+__all__ = ["masked_sparse_ce", "focal_loss", "smooth_l1_loss", "weighted_mse_loss"]
 
 
 def masked_sparse_ce(real: jax.Array, logits: jax.Array) -> jax.Array:
@@ -56,6 +56,23 @@ def focal_loss(
 def optax_sigmoid_ce(labels: jax.Array, logits: jax.Array) -> jax.Array:
     # numerically stable sigmoid cross-entropy
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def weighted_mse_loss(
+    target: jax.Array, pred: jax.Array, light_background: bool = True
+) -> jax.Array:
+    """Brightness-weighted MSE (reference ``utils/utils.py:93-117``): per-pixel
+    squared error weighted by 1 + normalized darkness (or brightness), summed —
+    darker regions attract more loss when ``light_background``."""
+    target = target.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    err = jnp.mean(jnp.square(target - pred), axis=-1)
+    avg_pred = jnp.mean(pred, axis=-1)
+    min_val = jnp.min(avg_pred)
+    max_val = jnp.max(avg_pred)
+    norm = (avg_pred - min_val) / jnp.maximum(max_val - min_val, 1e-12)
+    ratio = (1.0 - norm) + 1.0 if light_background else norm + 1.0
+    return jnp.sum(ratio * err)
 
 
 def smooth_l1_loss(

@@ -214,6 +214,23 @@ class Pipeline:
         seqs, lengths = self.predict_batch(np.asarray(img)[None])
         return seqs[0][: lengths[0]]
 
+    def predict_with_attention(self, img, beam_n: int | None = None):
+        """Caption one image and recover the decoder attention-weight dict
+        (``decoder_layer{n}_block{1,2}`` — reference ``transformer.py:337``) by
+        teacher-forcing the decoded sequence back through the full decoder.
+        Returns (token sequence, attention_weights)."""
+        from ..models.positional import create_masks
+
+        seq = self.predict(img)
+        tokens = np.concatenate([[self.start_token], np.asarray(seq)])
+        tokens = tokens[: self.max_seq_len]  # PE table covers max_seq_len positions
+        tar = jnp.asarray(tokens, jnp.int32)[None, :]
+        enc = self._encode(self.variables, jnp.asarray(np.asarray(img)[None]))
+        _logits, attention = self.transformer.apply(
+            self.variables, enc, tar, False, create_masks(tar)
+        )
+        return seq, {k: np.asarray(v) for k, v in attention.items()}
+
     def _to_caption(self, seq_row, length) -> str:
         tokens = [int(t) for t in seq_row[:length]]
         return self.tokenizer.sequences_to_texts([tokens])[0]
