@@ -1,0 +1,82 @@
+"""Config CLI parsing, tokenizer vocab cap, converter edge cases."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fpn_mt_image_captioning_tpu.config import Config
+
+
+def test_config_from_flags_parses_types():
+    cfg = Config.from_flags([
+        "--batch_size=32", "--beam_parity_mode=true", "--datadir=somewhere",
+        "--dropout_rate=0.2", "--n_train_dataset=null",
+    ])
+    assert cfg.batch_size == 32 and isinstance(cfg.batch_size, int)
+    assert cfg.beam_parity_mode is True
+    assert cfg.datadir == "somewhere"
+    assert cfg.dropout_rate == 0.2
+    assert cfg.n_train_dataset is None
+
+
+def test_config_unknown_flag_rejected():
+    with pytest.raises(ValueError):
+        Config.from_flags(["--not_a_field=1"])
+
+
+def test_config_derived_properties():
+    cfg = Config(image_input_size=512, epochs=100)
+    assert cfg.input_vocab_size == 1024   # ceil(512/16)^2 (pipeline.py:20)
+    assert cfg.min_epoch_to_break == 50   # EPOCHS // 2
+    assert cfg.result_file.endswith("val2017_captions_result.json")
+
+
+def test_tokenizer_num_words_cap():
+    from fpn_mt_image_captioning_tpu.data.tokenizer import Tokenizer
+
+    tok = Tokenizer(num_words=3, oov_token="unk")
+    tok.fit_on_texts(["a a a b b c"])  # a→2, b→3, c→4 (unk→1)
+    [seq] = tok.texts_to_sequences(["a b c"])
+    # indices ≥ num_words map to oov (Keras semantics)
+    assert seq == [2, 1, 1]
+    # sequences_to_texts respects the cap symmetrically
+    assert tok.sequences_to_texts([[2, 3, 4]])[0] == "a unk unk"
+
+
+def test_converter_handles_missing_findings(tmp_path):
+    from fpn_mt_image_captioning_tpu.data.convert import convert_store_format_to_coco
+    from fpn_mt_image_captioning_tpu.data.coco import COCO
+    from fixtures import IU_XML_TEMPLATE, _write_png
+
+    xml_dir = tmp_path / "xml"
+    img_dir = tmp_path / "images" / "nlmcxr"
+    xml_dir.mkdir()
+    img_dir.mkdir(parents=True)
+    _write_png(str(img_dir / "CXR1_IM-0001.png"), 16, 0)
+
+    # FINDINGS element empty → text is None → must become ''
+    xml = IU_XML_TEMPLATE.format(
+        findings="", impression="no acute disease",
+        parent_images='<parentImage id="CXR1_IM-0001"/>',
+    ).replace("<AbstractText Label=\"FINDINGS\"></AbstractText>",
+              "<AbstractText Label=\"FINDINGS\"/>")
+    (xml_dir / "r.xml").write_text(xml)
+
+    out = tmp_path / "coco"
+    convert_store_format_to_coco(["r.xml"], str(xml_dir), str(tmp_path), str(out), "val2017")
+    coco = COCO(str(out / "annotations" / "captions_val2017.json"))
+    [ann] = coco.loadAnns(coco.getAnnIds())
+    assert ann["caption"] == "no acute disease "  # impression + ' ' + ''
+
+
+def test_additional_info_roundtrip(tmp_path):
+    from fpn_mt_image_captioning_tpu.data.dataset import (
+        load_additional_info,
+        store_additional_info,
+    )
+
+    path = str(tmp_path / "info.json")
+    assert load_additional_info(path) == {}      # missing file → {}
+    store_additional_info({"max_seq_len": 42, "mt_epoch_x": 7}, path)
+    assert load_additional_info(path) == {"max_seq_len": 42, "mt_epoch_x": 7}
