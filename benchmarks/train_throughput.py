@@ -1,0 +1,106 @@
+"""Training-step throughput benchmark (images/sec/chip).
+
+Measures the jitted teacher-forced train step (fwd + bwd + AMSGrad update) on
+the flagship model. The reference publishes no training throughput (single-GPU
+TF2, batch 10 — ``common/common_definitions.py:19``); this gives the TPU
+number for the same batch and for a saturating batch.
+
+    python benchmarks/train_throughput.py [--tiny]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    tiny = "--tiny" in sys.argv
+    if tiny:
+        image_size, vocab, seq, dims = 256, 200, 16, (2, 64, 128, 4)
+        batches, iters, dtype = (4,), 2, "float32"
+    else:
+        image_size, vocab, seq, dims = 512, 2000, 64, (6, 512, 2048, 8)
+        batches, iters, dtype = (10, 32), 3, "bfloat16"
+
+    import optax
+
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.train.losses import masked_sparse_ce
+    from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
+    from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule, make_optimizer
+
+    num_layers, d_model, dff, num_heads = dims
+    model = Transformer(
+        num_layers=num_layers, d_model=d_model, num_heads=num_heads, dff=dff,
+        input_vocab_size=(image_size // 16) ** 2, target_vocab_size=vocab,
+        max_seq_len=seq, dtype=jnp.dtype(dtype),
+    )
+    rng = jax.random.PRNGKey(0)
+    img1 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    tar1 = jnp.ones((1, seq - 1), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, img1, tar1, True, create_masks(tar1)
+    )
+    optimizer = make_optimizer(custom_schedule(dff, 4000))
+    state = TrainState(
+        variables["params"], variables.get("batch_stats", {}),
+        optimizer.init(variables["params"]), jnp.int32(0),
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, img, caps):
+        tar_inp, tar_real = caps[:, :-1], caps[:, 1:]
+        mask = create_masks(tar_inp)
+        drng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
+        def loss_fn(params):
+            (logits, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, tar_inp, True, mask, rngs={"dropout": drng},
+                mutable=["batch_stats"],
+            )
+            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, bs, opt, state.step + 1), loss
+
+    results = {}
+    rng_np = np.random.default_rng(0)
+    for batch in batches:
+        img = jnp.asarray(
+            rng_np.standard_normal((batch, image_size, image_size, 3), dtype=np.float32) * 0.5
+        )
+        caps = jnp.asarray(rng_np.integers(1, vocab, (batch, seq)), jnp.int32)
+        state, loss = train_step(state, img, caps)
+        np.asarray(loss)  # sync (block_until_ready unreliable on tunneled backend)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = train_step(state, img, caps)
+            np.asarray(loss)
+        dt = (time.perf_counter() - t0) / iters
+        results[f"batch_{batch}"] = {
+            "step_ms": round(dt * 1000, 1),
+            "images_per_sec": round(batch / dt, 1),
+        }
+
+    print(json.dumps({
+        "metric": "train images/sec/chip",
+        "results": results,
+        "image_size": image_size, "dtype": dtype,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

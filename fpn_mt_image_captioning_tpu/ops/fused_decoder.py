@@ -145,7 +145,7 @@ def _decoder_kernel(
     pos_ref,                 # (1,) int32
     # inputs
     x_in_ref,                # (BK, d) VMEM
-    oh_ref,                  # (n_tiles, Lpad·g, beam, beam) VMEM — ancestry one-hots
+    oh_ref,                  # (n_tiles, Lpad, T, T) VMEM — block-diag ancestry one-hots
     wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     wcq_ref, bcq_ref, wco_ref, bco_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
@@ -267,39 +267,43 @@ def _decoder_kernel(
                     kc.wait()
                     vc.wait()
 
-            # ancestry gather as a one-hot batched matmul over the beam group
-            oh_t = oh_ref[ti]                                   # (L·g, beam, beam)
-            k_grp = k_tile_s[:].reshape(lpad * g, beam, d)
-            v_grp = v_tile_s[:].reshape(lpad * g, beam, d)
+            # Ancestry gather as a block-diagonal one-hot matmul over the WHOLE
+            # tile: k_eff[l, r, :] = Σ_r' oh[l, r, r'] · k[l, r', :] where
+            # oh[l, r, r'] = (same beam group) ∧ (ancestor beam matches). The
+            # block-diagonal form does 8× the FLOPs of per-group batched GEMMs
+            # but runs at M=tile instead of M=beam on the MXU (≥8× better
+            # utilization) and needs zero group reshapes.
+            oh_t = oh_ref[ti]                                   # (L, T, T)
             dn = (((2,), (1,)), ((0,), (0,)))
             k_eff = jax.lax.dot_general(
-                oh_t, k_grp, dn, preferred_element_type=f32
-            ).astype(dtype)
-            v_eff = jax.lax.dot_general(oh_t, v_grp, dn, preferred_element_type=f32)
+                oh_t, k_tile_s[:], dn, preferred_element_type=f32
+            ).astype(dtype)                                      # (L, T, d)
+            v_eff = jax.lax.dot_general(
+                oh_t, v_tile_s[:], dn, preferred_element_type=f32
+            )
 
-            # per-head logits via head-segment matmul (q ⊙ k) @ S — faster here
-            # than a per-head lane-slice loop despite the redundant FLOPs: one
-            # big MXU op beats 8 poorly-shaped VPU loops
-            q_g = q_scaled[r0 : r0 + tile, :].reshape(g, beam, d)
-            q_bc = jnp.broadcast_to(q_g[None], (lpad, g, beam, d))
-            prod = q_bc * k_eff.reshape(lpad, g, beam, d)
+            # per-head logits via head-segment matmul (q ⊙ k) @ S — faster than
+            # a per-head lane-slice loop despite redundant FLOPs: one big MXU op
+            # beats 8 poorly-shaped VPU loops
+            q_t = q_scaled[r0 : r0 + tile, :]
+            prod = jnp.broadcast_to(q_t[None], (lpad, tile, d)) * k_eff
             lg = jnp.dot(
-                prod.reshape(lpad * g * beam, d), S, preferred_element_type=f32
-            ).reshape(lpad, g, beam, hp)
+                prod.reshape(lpad * tile, d), S, preferred_element_type=f32
+            ).reshape(lpad, tile, hp)
 
-            inv4 = jax.lax.broadcasted_iota(jnp.int32, (lpad, g, beam, hp), 0) > pos
-            lg = jnp.where(inv4, -1e9, lg)
+            inv3 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0) > pos
+            lg = jnp.where(inv3, -1e9, lg)
             m = jnp.max(lg, axis=0, keepdims=True)
             e = jnp.exp(lg - m)
-            w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, g, q, 128) f32
+            w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, T, 128) f32
 
             # expand per-head weights back over lanes and contract positions
             w_d = jnp.dot(
-                w.reshape(lpad * g * beam, hp).astype(dtype), ST,
+                w.reshape(lpad * tile, hp).astype(dtype), ST,
                 preferred_element_type=f32,
-            ).reshape(lpad, g, beam, d)
-            ctx = (w_d * v_eff.reshape(lpad, g, beam, d)).sum(0)  # (g, beam, d) f32
-            ctx_s[r0 : r0 + tile, :] = ctx.reshape(tile, d).astype(dtype)
+            ).reshape(lpad, tile, d)
+            ctx = (w_d * v_eff).sum(0)                           # (T, d) f32
+            ctx_s[r0 : r0 + tile, :] = ctx.astype(dtype)
 
         ln = ln_ref[0]  # (8, d) f32
         attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
@@ -387,7 +391,7 @@ def fused_decode_step(
     num_layers: int,
     beam: int,
     num_heads: int,
-    tile: int = 64,
+    tile: int = 128,
     interpret: bool = False,
 ):
     """All decoder layers + final vocab projection + log-softmax + beam freeze
@@ -407,11 +411,16 @@ def fused_decode_step(
     g = tile // beam
     n_tiles = bk // tile
 
-    # ancestry one-hots, laid out per tile for the kernel:
-    # oh[ti, l·g + j, q, s] = (src_t[l, ti·tile + j·beam + q] == s)
-    oh = (src_t[:, :, None] == jnp.arange(beam, dtype=src_t.dtype)).astype(dtype)
-    oh = oh.reshape(lpad, n_tiles, g, beam, beam)
-    oh = oh.transpose(1, 0, 2, 3, 4).reshape(n_tiles, lpad * g, beam, beam)
+    # Block-diagonal ancestry one-hots per tile:
+    # oh[ti, l, r, r'] = (r, r' in the same beam group) ∧ (src_t[l, row r] == beam(r'))
+    rows = jnp.arange(tile, dtype=jnp.int32)
+    same_group = (rows[:, None] // beam) == (rows[None, :] // beam)   # (T, T)
+    beam_of = rows % beam                                             # (T,)
+    srcr = src_t.reshape(lpad, n_tiles, tile).transpose(1, 0, 2)      # (ti, L, T)
+    oh = (
+        (srcr[:, :, :, None] == beam_of[None, None, None, :])
+        & same_group[None, None]
+    ).astype(dtype)                                                   # (ti, L, T, T)
 
     nl = n - 1  # weight blocks clamp to the last layer on the final grid cell
 
@@ -421,7 +430,7 @@ def fused_decode_step(
         in_specs=[
             pl.BlockSpec((bk, d), lambda l, *_: (0, 0)),            # x_in
             pl.BlockSpec(
-                (n_tiles, lpad * g, beam, beam), lambda l, *_: (0, 0, 0, 0)
+                (n_tiles, lpad, tile, tile), lambda l, *_: (0, 0, 0, 0)
             ),                                                      # oh
             pl.BlockSpec((1, d, 3 * d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
             pl.BlockSpec((1, 1, 3 * d), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
