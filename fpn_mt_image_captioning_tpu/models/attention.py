@@ -11,8 +11,9 @@ for TPU:
     decode loop can run under ``lax.scan`` with an explicit cache carry, instead of
     the reference's full-prefix re-forward per beam step
     (``/root/reference/utils/pipeline.py:105-112``);
-  * an optional fused Pallas path for the hot multi-view encoder attention
-    (see ``ops/mva.py``), enabled when no attention-weights output is requested.
+  * a batched ``MultiViewAttention`` module collapsing the reference's four
+    per-view MHAs into stacked einsums (one MXU contraction per projection);
+    the decode-time hot path is further fused in ``ops/fused_decoder.py``.
 
 Naming note: the reference's call convention is ``mha(v, k, q, mask)`` (v first —
 ``transformer.py:131``). This framework uses the conventional ``(q, k, v)`` order;
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import he_normal
+from .layers import he_normal, stacked_he_normal
 
 __all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "MultiViewAttention"]
 
@@ -87,9 +88,9 @@ class MultiViewAttention(nn.Module):
     ) -> jax.Array:
         V, d, H = self.num_views, self.d_model, self.num_heads
         Dh = d // H
-        wq = self.param("wq", he_normal(), (V, d, d), self.param_dtype)
+        wq = self.param("wq", stacked_he_normal(1), (V, d, d), self.param_dtype)
         bq = self.param("bq", nn.initializers.zeros, (V, d), self.param_dtype)
-        wo = self.param("wo", he_normal(), (V, d, d), self.param_dtype)
+        wo = self.param("wo", stacked_he_normal(1), (V, d, d), self.param_dtype)
         bo = self.param("bo", nn.initializers.zeros, (V, d), self.param_dtype)
 
         b, lq, _ = baseline.shape

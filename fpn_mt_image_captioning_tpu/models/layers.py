@@ -25,6 +25,7 @@ __all__ = [
     "resolve_activation",
     "resolve_kernel_init",
     "he_normal",
+    "stacked_he_normal",
     "random_normal_init",
     "prior_probability_bias",
     "upsample_like",
@@ -35,6 +36,19 @@ __all__ = [
 def he_normal():
     # Keras he_normal == truncated normal, stddev = sqrt(2 / fan_in)
     return nn.initializers.he_normal()
+
+
+def stacked_he_normal(n_batch_axes: int):
+    """he_normal for stacked weight tensors ``(B1, ..., Bk, fan_in, fan_out)``.
+
+    Plain ``he_normal()`` treats all leading axes as receptive field, shrinking
+    stddev by sqrt(prod(batch dims)); this keeps per-matrix statistics identical
+    to the reference's per-Dense Keras he_normal
+    (``/root/reference/common/common_definitions.py:15``)."""
+    return nn.initializers.variance_scaling(
+        2.0, "fan_in", "truncated_normal",
+        in_axis=-2, out_axis=-1, batch_axis=tuple(range(n_batch_axes)),
+    )
 
 
 def random_normal_init(stddev: float = 0.01):

@@ -42,7 +42,7 @@ from flax import linen as nn
 
 from .attention import MultiHeadAttention, MultiViewAttention
 from .feature_extractor import FeatureExtractor
-from .layers import he_normal, resolve_activation
+from .layers import he_normal, resolve_activation, stacked_he_normal
 from .positional import positional_encoding, raw_positional_encoding
 
 __all__ = ["EncoderLayer", "DecoderLayer", "Encoder", "Decoder", "Transformer"]
@@ -148,7 +148,7 @@ class Encoder(nn.Module):
         # transformer.py:298-299), so K/V need projecting exactly once.
         self.kv_proj = self.param(
             "kv_proj",
-            nn.initializers.he_normal(),
+            stacked_he_normal(2),
             (self.num_layers, num_views, self.d_model, 2 * self.d_model),
         )
         self.kv_bias = self.param(

@@ -80,3 +80,64 @@ def test_additional_info_roundtrip(tmp_path):
     assert load_additional_info(path) == {}      # missing file → {}
     store_additional_info({"max_seq_len": 42, "mt_epoch_x": 7}, path)
     assert load_additional_info(path) == {"max_seq_len": 42, "mt_epoch_x": 7}
+
+
+def test_converter_output_bytes(tmp_path):
+    """Pins the COCO wire format byte-for-byte: key order, id numbering from
+    1000, license ids from 1, caption = impression + ' ' + findings, info block
+    from the first report (reference convert_dataset.py:26-107)."""
+    import json
+
+    from fpn_mt_image_captioning_tpu.data.convert import convert_store_format_to_coco
+    from fixtures import IU_XML_TEMPLATE, _write_png
+
+    xml_dir = tmp_path / "xml"
+    img_dir = tmp_path / "images" / "nlmcxr"
+    xml_dir.mkdir()
+    img_dir.mkdir(parents=True)
+    for name in ("CXRA_IM-0001", "CXRA_IM-0002", "CXRB_IM-0001"):
+        _write_png(str(img_dir / f"{name}.png"), 16, 0)
+
+    (xml_dir / "a.xml").write_text(IU_XML_TEMPLATE.format(
+        findings="lungs are clear", impression="normal chest",
+        parent_images='<parentImage id="CXRA_IM-0001"/>\n  <parentImage id="CXRA_IM-0002"/>',
+    ))
+    (xml_dir / "b.xml").write_text(IU_XML_TEMPLATE.format(
+        findings="stable cardiomediastinal silhouette", impression="no acute disease",
+        parent_images='<parentImage id="CXRB_IM-0001"/>',
+    ))
+    (xml_dir / "notes.txt").write_text("ignored: not xml")
+
+    out = tmp_path / "coco"
+    convert_store_format_to_coco(
+        ["a.xml", "notes.txt", "b.xml"], str(xml_dir), str(tmp_path), str(out), "val2017"
+    )
+
+    url = "http://creativecommons.org/licenses/by-nc-nd/2.0/"
+    expected = json.dumps({
+        "info": {
+            "description": "Indiana University Chest X-ray Collection",
+            "date_created": "2013-08-01",
+            "contributor": "Indiana University",
+        },
+        "licenses": [
+            {"url": url, "id": 1, "name": "open-access"},
+            {"url": url, "id": 2, "name": "open-access"},
+            {"url": url, "id": 3, "name": "open-access"},
+        ],
+        "images": [
+            {"license": 1, "file_name": "CXRA_IM-0001.png", "id": 1000},
+            {"license": 2, "file_name": "CXRA_IM-0002.png", "id": 1001},
+            {"license": 3, "file_name": "CXRB_IM-0001.png", "id": 1002},
+        ],
+        "annotations": [
+            {"image_id": 1000, "id": 1000, "caption": "normal chest lungs are clear"},
+            {"image_id": 1001, "id": 1001, "caption": "normal chest lungs are clear"},
+            {"image_id": 1002, "id": 1002,
+             "caption": "no acute disease stable cardiomediastinal silhouette"},
+        ],
+    })
+    got = (out / "annotations" / "captions_val2017.json").read_text()
+    assert got == expected
+    for name in ("CXRA_IM-0001", "CXRA_IM-0002", "CXRB_IM-0001"):
+        assert (out / "images" / "val2017" / f"{name}.png").exists()
