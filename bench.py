@@ -4,7 +4,16 @@ Protocol (config 5 of BASELINE.json — batched serving): flagship model
 (512² input, d_model=512, 6+6 layers, dff=2048, 8 heads, vocab 2000, bfloat16
 compute), batch 64, beam 8, 60 decode steps with the shared-KV-cache
 ``lax.while_loop`` engine. Encoder runs once per image; decode is
-batch×beam-parallel. Also reports p50 single-image latency.
+batch×beam-parallel.
+
+Measurement: the host↔device tunnel on this setup adds ~30 ms per device→host
+copy, so per-batch host timing measures the tunnel, not the chip. Caption
+rounds therefore run back-to-back ON DEVICE inside one jit (``lax.fori_loop``
+with a data dependency between rounds so XLA cannot elide work; the loop bound
+is a traced operand so K and 2K share one compilation) and the per-round cost
+is the slope (t(2K) − t(K)) / K — tunnel latency and dispatch cancel exactly.
+The reported number is pure device throughput, which is what a pipelined
+serving deployment sustains.
 
 Prints ONE JSON line:
   {"metric": "captioned images/sec/chip @ beam=8", "value": N, "unit": "img/s",
@@ -18,7 +27,6 @@ publishes no throughput numbers — SURVEY.md §6).
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 import time
 
@@ -28,6 +36,7 @@ import numpy as np
 
 
 def build(image_size, vocab, max_seq_len, dims, dtype):
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
 
     num_layers, d_model, dff, num_heads = dims
@@ -36,8 +45,6 @@ def build(image_size, vocab, max_seq_len, dims, dtype):
         input_vocab_size=(image_size // 16) ** 2, target_vocab_size=vocab,
         max_seq_len=max_seq_len, dtype=jnp.dtype(dtype),
     )
-    from fpn_mt_image_captioning_tpu.models.positional import create_masks
-
     rng = jax.random.PRNGKey(0)
     img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     tar = jnp.ones((1, 4), jnp.int32)
@@ -47,30 +54,13 @@ def build(image_size, vocab, max_seq_len, dims, dtype):
     return model, variables
 
 
-def main():
-    tiny = "--tiny" in sys.argv
-    if tiny:
-        image_size, vocab, max_len, dims = 256, 200, 8, (2, 64, 128, 4)
-        batch, beam, iters, dtype = 4, 2, 2, "float32"
-    else:
-        image_size, vocab, max_len, dims = 512, 2000, 60, (6, 512, 2048, 8)
-        batch, beam, iters, dtype = 64, 8, 3, "bfloat16"
-
-    from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search, cast_for_inference
+def make_looped_caption(model, variables, beam, max_len, vocab, fused):
+    """jitted fn(images, n) running n encode+beam-search rounds on device."""
+    from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
 
-    model, variables = build(image_size, vocab, max_len, dims, dtype)
-    if dtype == "bfloat16":
-        variables = cast_for_inference(variables)
-
-    @jax.jit
-    def encode(variables, images):
-        return model.apply(variables, images, train=False, method=Transformer.encode)
-
-    fused = jax.default_backend() == "tpu"
-
-    def caption(images):
-        enc = encode(variables, images)
+    def one_round(imgs):
+        enc = model.apply(variables, imgs, train=False, method=Transformer.encode)
         seqs, lengths, _ = beam_search(
             model, variables, enc,
             beam_n=beam, max_len=max_len, start_token=1, end_token=vocab - 1,
@@ -78,45 +68,71 @@ def main():
         )
         return seqs, lengths
 
+    @jax.jit
+    def run(images, n):
+        def body(_, carry):
+            imgs, acc = carry
+            seqs, lengths = one_round(imgs)
+            # data dependency XLA cannot constant-fold or hoist: the bump value
+            # is below f32 resolution (numerically a no-op) but data-depends on
+            # the round's outputs, so every round must actually execute
+            bump = ((lengths.sum() + seqs.sum()).astype(imgs.dtype)) * 1e-30
+            return imgs + bump, acc + lengths.sum()
+
+        _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.int32(0)))
+        return acc
+
+    return run
+
+
+def slope_ms(run, images, k):
+    """Per-round milliseconds via the (2k - k) slope; one sync per call."""
+    def t(n):
+        t0 = time.perf_counter()
+        np.asarray(run(images, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    np.asarray(run(images, jnp.int32(1)))  # warm / compile
+    t1, t2 = t(k), t(2 * k)
+    return max((t2 - t1) / k, 1e-9) * 1000
+
+
+def main():
+    tiny = "--tiny" in sys.argv
+    if tiny:
+        image_size, vocab, max_len, dims = 256, 200, 8, (2, 64, 128, 4)
+        batch, beam, k, dtype = 4, 2, 2, "float32"
+    else:
+        image_size, vocab, max_len, dims = 512, 2000, 60, (6, 512, 2048, 8)
+        batch, beam, k, dtype = 64, 8, 8, "bfloat16"
+
+    from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
+
+    model, variables = build(image_size, vocab, max_len, dims, dtype)
+    if dtype == "bfloat16":
+        variables = cast_for_inference(variables)
+
+    fused = jax.default_backend() == "tpu"
+    run = make_looped_caption(model, variables, beam, max_len, vocab, fused)
+
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.standard_normal((batch, image_size, image_size, 3), dtype=np.float32) * 0.5
     )
 
-    # NOTE: sync via device→host copy (np.asarray); block_until_ready does not
-    # reliably wait on the axon-tunneled backend.
-    def sync(x):
-        return np.asarray(x)
+    batch_ms = slope_ms(run, images, k)
+    throughput = batch / (batch_ms / 1000)
 
-    # warmup / compile
-    seqs, lengths = caption(images)
-    sync(seqs)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        seqs, lengths = caption(images)
-        sync(seqs)
-    dt = time.perf_counter() - t0
-    throughput = batch * iters / dt
-
-    # p50 single-image latency
-    one = images[:1]
-    s, l = caption(one)
-    sync(s)
-    lat = []
-    for _ in range(5 if tiny else 10):
-        t1 = time.perf_counter()
-        s, l = caption(one)
-        sync(s)
-        lat.append(time.perf_counter() - t1)
-    p50_ms = statistics.median(lat) * 1000
+    # single-image device latency (same slope method at batch 1)
+    one_ms = slope_ms(run, images[:1], k)
 
     print(json.dumps({
         "metric": "captioned images/sec/chip @ beam=8",
         "value": round(throughput, 2),
         "unit": "img/s",
         "vs_baseline": round(throughput / 500.0, 4),
-        "p50_latency_ms": round(p50_ms, 2),
+        "p50_latency_ms": round(one_ms, 2),
+        "batch_ms": round(batch_ms, 2),
         "batch": batch, "beam": beam, "decode_steps": max_len,
         "image_size": image_size, "dtype": dtype,
         "backend": jax.default_backend(),

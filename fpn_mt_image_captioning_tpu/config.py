@@ -38,6 +38,10 @@ class MeshConfig:
     model_axis: str = "model"
     data_axis_size: int = -1
     model_axis_size: int = 1
+    # When True, Pipeline builds the mesh and runs DP(xTP)-sharded train/eval;
+    # batches are zero-padded to a multiple of the data-axis size (padded rows
+    # carry empty captions, so they contribute nothing to the loss/gradients).
+    enabled: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,7 +107,8 @@ class Config:
     # ---- TPU-native knobs (no reference counterpart) ----
     compute_dtype: str = "bfloat16"         # matmul/conv compute dtype on TPU
     param_dtype: str = "float32"
-    decode_batch: int = 1                   # images decoded per device step in eval
+    decode_batch: int = 16                  # images decoded per device step in eval
+                                            # (iter_batches pads the tail batch)
     beam_parity_mode: bool = False          # reproduce reference prob-product/tied-beam quirks
     use_pallas: bool = True                 # fused Pallas attention kernels where profitable
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -140,17 +145,29 @@ class Config:
 
         argv = list(sys.argv[1:] if argv is None else argv)
         overrides: dict[str, Any] = dict(base)
+        mesh_overrides: dict[str, Any] = {}
         field_names = {f.name for f in dataclasses.fields(cls)}
+        mesh_fields = {f.name for f in dataclasses.fields(MeshConfig)}
         for arg in argv:
             if not arg.startswith("--"):
                 continue
             key, _, raw = arg[2:].partition("=")
             key = key.replace("-", "_")
-            if key not in field_names:
-                raise ValueError(f"Unknown config flag --{key}")
             try:
                 val = json.loads(raw)
             except (json.JSONDecodeError, ValueError):
                 val = raw
+            # nested mesh flags: --mesh.enabled=true, --mesh.model_axis_size=2
+            if key.startswith("mesh."):
+                sub = key[5:]
+                if sub not in mesh_fields:
+                    raise ValueError(f"Unknown mesh flag --{key}")
+                mesh_overrides[sub] = val
+                continue
+            if key not in field_names:
+                raise ValueError(f"Unknown config flag --{key}")
             overrides[key] = val
+        if mesh_overrides:
+            mesh_base = overrides.get("mesh", MeshConfig())
+            overrides["mesh"] = dataclasses.replace(mesh_base, **mesh_overrides)
         return cls(**overrides)

@@ -92,9 +92,43 @@ class MetricEval:
         self.eval = cocoEval.eval
         return cocoEval.eval["CIDEr"]
 
-    def print_result(self, imgId: int, resFile) -> None:
+    def print_result(self, imgId: int, resFile, show_image: bool = True) -> None:
+        """GT vs generated captions, plus the image itself (reference
+        ``dataset.py:300-324`` renders it with plt.imshow/plt.show). With a
+        non-interactive matplotlib backend (Agg) the figure is saved next to
+        the result file instead of shown; without matplotlib it is skipped."""
         cocoRes = self.coco.loadRes(resFile)
         print("ground truth captions")
         self.coco.showAnns(self.coco.loadAnns(self.coco.getAnnIds(imgIds=imgId)))
         print("\ngenerated caption")
         self.coco.showAnns(cocoRes.loadAnns(cocoRes.getAnnIds(imgIds=imgId)))
+        if show_image:
+            self._show_image(imgId, resFile)
+
+    def _show_image(self, imgId: int, resFile) -> None:
+        try:
+            import matplotlib
+            import matplotlib.pyplot as plt
+            from PIL import Image
+        except ImportError:  # image display is an optional capability
+            return
+        img = self.coco.loadImgs(imgId)[0]
+        path = f"{self.dataDir}/images/{self.dataType}/{img['file_name']}"
+        try:
+            data = Image.open(path)
+        except OSError:
+            print(f"(image not found: {path})")
+            return
+        plt.imshow(data)
+        plt.axis("off")
+        if matplotlib.get_backend().lower().startswith("agg"):
+            import os
+
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(str(resFile))), f"img_{imgId}.png"
+            )
+            plt.savefig(out, bbox_inches="tight")
+            print(f"(non-interactive backend: image saved to {out})")
+        else:
+            plt.show()
+        plt.close()

@@ -22,10 +22,11 @@ call sites are mapped accordingly and parity-tested.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import he_normal, stacked_he_normal
@@ -51,23 +52,34 @@ def scaled_dot_product_attention(
     return out, weights
 
 
+def _view_groups(lengths: list[int], solo_tokens: int = 512) -> list[list[int]]:
+    """Static grouping of views for batched attention: views with ≥solo_tokens
+    keys run solo (unpadded); the rest are stacked padded to their common max
+    (small views, so the padding FLOPs are negligible but the op count drops)."""
+    solo = [i for i, l in enumerate(lengths) if l >= solo_tokens]
+    rest = [i for i, l in enumerate(lengths) if l < solo_tokens]
+    return [[i] for i in solo] + ([rest] if rest else [])
+
+
 class MultiViewAttention(nn.Module):
-    """Batched multi-view cross-attention — the UMV encoder layer's 4 per-view
-    MHAs (reference ``transformer.py:162,:186-190``) collapsed into stacked-weight
-    einsums.
+    """Multi-view cross-attention — the UMV encoder layer's per-view MHAs
+    (reference ``transformer.py:162,:186-190``) residual-summed into the
+    baseline stream, computed in *transposed-projection* form.
 
-    The reference runs one ``MultiHeadAttention`` per non-baseline pyramid view
-    and residual-sums the outputs into the baseline stream. Mathematically that
-    is a single batched attention with a view axis:
+    With only ``Lq = 16`` baseline queries, materializing per-view K/V tensors
+    is pure waste: O(L·d²) projection FLOPs plus an (L, d) HBM round-trip per
+    view per layer. Instead the key/value projections are folded into the tiny
+    query side:
 
-        q_v   = baseline @ Wq_v          (stacked: one einsum for all views)
-        logits_v = q_v · k_v / sqrt(D)   (views padded to a common key length)
-        out   = Σ_v dropout_v(ctx_v @ Wo_v + bo_v)
+        logits_v = ((q_v·Wk_vᵀ)/√Dh) · x_vᵀ + q_v·bk_v     (x_v = raw view tokens)
+        ctx_v    = (softmax(logits_v) · x_v) Wv_v + bv_v    (softmax rows sum to 1,
+                                                             so the value bias adds
+                                                             directly)
 
-    which cuts ~40 HLO ops per layer to ~12 — on TPU, fewer/bigger ops means
-    better MXU utilization and less per-kernel overhead. K/V are projected by
-    the caller (they are layer-invariant in the UMV encoder, so all layers'
-    K/V projections are computed once — see ``Encoder``).
+    so the only large contractions are (B, Lv, d) × (B, d, H·Lq) — O(L·d·H·Lq)
+    — and no K/V is ever written. Same parameters, same math as the reference's
+    per-view ``MultiHeadAttention`` stack, just re-associated for the TPU: the
+    big einsums keep the MXU busy, everything else is 16-token-sized.
     """
 
     num_views: int
@@ -80,32 +92,66 @@ class MultiViewAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        baseline: jax.Array,   # (B, Lq, d_model)
-        k: jax.Array,          # (V, B, Lk, H, Dh) — precomputed, padded
-        v: jax.Array,          # (V, B, Lk, H, Dh)
-        kv_mask: jax.Array,    # (V, Lk) float — 1.0 at padded key slots
+        baseline: jax.Array,             # (B, Lq, d_model)
+        sources: list[jax.Array],        # V arrays (B, Lv, d_model), raw tokens
+        kv_w: jax.Array,                 # (V, d, 2d) — [Wk | Wv] per view
+        kv_b: jax.Array,                 # (V, 2d)    — [bk | bv] per view
         deterministic: bool = True,
     ) -> jax.Array:
         V, d, H = self.num_views, self.d_model, self.num_heads
+        assert len(sources) == V, (len(sources), V)
         Dh = d // H
+        dt = self.dtype
         wq = self.param("wq", stacked_he_normal(1), (V, d, d), self.param_dtype)
         bq = self.param("bq", nn.initializers.zeros, (V, d), self.param_dtype)
         wo = self.param("wo", stacked_he_normal(1), (V, d, d), self.param_dtype)
         bo = self.param("bo", nn.initializers.zeros, (V, d), self.param_dtype)
 
         b, lq, _ = baseline.shape
-        q = jnp.einsum("bqd,vde->vbqe", baseline, wq.astype(self.dtype))
-        q = q + bq.astype(self.dtype)[:, None, None, :]
-        q = q.reshape(V, b, lq, H, Dh)
+        q = jnp.einsum("bqd,vde->vbqe", baseline, wq.astype(dt))
+        q = (q + bq.astype(dt)[:, None, None, :]).reshape(V, b, lq, H, Dh)
 
-        scale = jnp.asarray(1.0 / jnp.sqrt(Dh), self.dtype)
-        logits = jnp.einsum("vbqhd,vbkhd->vbhqk", q, k) * scale
-        logits = logits + (kv_mask[:, None, None, None, :] * NEG_INF_SCALE).astype(logits.dtype)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("vbhqk,vbkhd->vbqhd", weights, v).reshape(V, b, lq, d)
+        wk = kv_w[..., :d].reshape(V, d, H, Dh).astype(dt)
+        wv = kv_w[..., d:].reshape(V, d, H, Dh).astype(dt)
+        bk = kv_b[..., :d].reshape(V, H, Dh).astype(dt)
+        bv = kv_b[..., d:].reshape(V, H, Dh).astype(dt)
 
-        outs = jnp.einsum("vbqd,vde->vbqe", ctx, wo.astype(self.dtype))
-        outs = outs + bo.astype(self.dtype)[:, None, None, :]
+        scale = jnp.asarray(1.0 / np.sqrt(Dh), dt)
+        qx = jnp.einsum("vdhe,vbqhe->vbdhq", wk, q) * scale  # q in x-space
+        qb = jnp.einsum("vbqhe,vhe->vbhq", q, bk) * scale    # key-bias logit term
+
+        ctx: list[Any] = [None] * V
+        for group in _view_groups([s.shape[1] for s in sources]):
+            if len(group) == 1:
+                vi = group[0]
+                x = sources[vi]
+                logits = jnp.einsum("bld,bdhq->bhql", x, qx[vi]) + qb[vi][..., None]
+                w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+                cx = jnp.einsum("bhql,bld->bhqd", w, x)
+                ctx[vi] = jnp.einsum("bhqd,dhe->bqhe", cx, wv[vi]) + bv[vi][None, None]
+            else:
+                lmax = max(sources[i].shape[1] for i in group)
+                xs = jnp.stack([
+                    jnp.pad(sources[i], ((0, 0), (0, lmax - sources[i].shape[1]), (0, 0)))
+                    for i in group
+                ])
+                pad_mask = jnp.stack([
+                    (jnp.arange(lmax) >= sources[i].shape[1]).astype(jnp.float32)
+                    for i in group
+                ])
+                logits = jnp.einsum("gbld,gbdhq->gbhql", xs, qx[jnp.asarray(group)])
+                logits = logits + qb[jnp.asarray(group)][..., None]
+                logits = logits + (pad_mask[:, None, None, None, :] * NEG_INF_SCALE).astype(dt)
+                w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+                cx = jnp.einsum("gbhql,gbld->gbhqd", w, xs)
+                c = jnp.einsum("gbhqd,gdhe->gbqhe", cx, wv[jnp.asarray(group)])
+                c = c + bv[jnp.asarray(group)][:, None, None]
+                for gi, vi in enumerate(group):
+                    ctx[vi] = c[gi]
+
+        outs = jnp.stack([c.reshape(b, lq, d) for c in ctx])  # (V, B, Lq, d)
+        outs = jnp.einsum("vbqd,vde->vbqe", outs, wo.astype(dt))
+        outs = outs + bo.astype(dt)[:, None, None, :]
         outs = nn.Dropout(self.rate)(outs, deterministic=deterministic)  # per-view iid
         return outs.sum(axis=0)  # (B, Lq, d_model)
 

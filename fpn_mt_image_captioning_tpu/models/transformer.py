@@ -74,10 +74,11 @@ def _ln(name: str):
 
 
 class EncoderLayer(nn.Module):
-    """UMV encoder layer: batched multi-view cross-attention into the baseline
-    stream, then post-LN FFN (reference ``transformer.py:158-198`` semantics,
-    computed with the stacked-weight MultiViewAttention — K/V are projected
-    upstream once for all layers since the source views never change)."""
+    """UMV encoder layer: multi-view cross-attention into the baseline stream,
+    then post-LN FFN (reference ``transformer.py:158-198`` semantics, computed
+    with the transposed-projection MultiViewAttention over the raw unpadded
+    view tokens — the per-layer K/V weights come in as arguments because the
+    Encoder owns the (num_layers, V, d, 2d) stacked parameter)."""
 
     d_model: int
     num_heads: int
@@ -99,13 +100,13 @@ class EncoderLayer(nn.Module):
 
     def __call__(
         self,
-        baseline: jax.Array,   # (B, Lq, d_model)
-        k: jax.Array,          # (V, B, Lk, H, Dh) — this layer's view keys
-        v: jax.Array,          # (V, B, Lk, H, Dh)
-        kv_mask: jax.Array,    # (V, Lk)
+        baseline: jax.Array,        # (B, Lq, d_model)
+        sources: list[jax.Array],   # V arrays (B, Lv, d_model), raw view tokens
+        kv_w: jax.Array,            # (V, d, 2d) — this layer's K/V projections
+        kv_b: jax.Array,            # (V, 2d)
         deterministic: bool = True,
     ) -> jax.Array:
-        out = baseline + self.mva(baseline, k, v, kv_mask, deterministic)
+        out = baseline + self.mva(baseline, sources, kv_w, kv_b, deterministic)
         out1 = self.layernorm1(out).astype(baseline.dtype)
         ffn_out = self.dropout2(self.ffn(out1), deterministic=deterministic)
         return self.layernorm2(out1 + ffn_out).astype(baseline.dtype)
@@ -179,38 +180,16 @@ class Encoder(nn.Module):
         baseline = embedded[-1]
         sources = embedded[:-1]
 
-        # pad source views to a common key length and stack: (V, B, Lmax, d)
-        lmax = max(s.shape[1] for s in sources)
-        batch = baseline.shape[0]
-        padded = jnp.stack(
-            [
-                jnp.pad(s, ((0, 0), (0, lmax - s.shape[1]), (0, 0)))
-                for s in sources
-            ]
-        )
-        kv_mask = jnp.stack(
-            [
-                (jnp.arange(lmax) >= s.shape[1]).astype(jnp.float32)
-                for s in sources
-            ]
-        )
-
-        # one projection for every (layer, view): (Lyr, V, B, Lmax, 2d)
-        h_heads = self.num_heads
-        dh = self.d_model // h_heads
-        kv = jnp.einsum(
-            "vbkd,lvde->lvbke", padded, jnp.asarray(self.kv_proj, baseline.dtype)
-        ) + jnp.asarray(self.kv_bias, baseline.dtype)[:, :, None, None, :]
-        kv = kv.reshape(
-            self.num_layers, len(sources), batch, lmax, 2, h_heads, dh
-        )
-        k_all, v_all = kv[..., 0, :, :], kv[..., 1, :, :]
+        # K/V are never materialized: each layer folds its projections into the
+        # 16-token query side (see MultiViewAttention) and attends over the raw
+        # unpadded view tokens — O(L·d·H·Lq) per view instead of O(L·d²), no
+        # (layers, V, B, L, 2d) HBM round-trip.
+        kv_w = jnp.asarray(self.kv_proj, baseline.dtype)
+        kv_b = jnp.asarray(self.kv_bias, baseline.dtype)
 
         for li, layer in enumerate(self.enc_layers):
             apply_layer = jax.checkpoint(layer.__call__) if self.remat else layer
-            baseline = apply_layer(
-                baseline, k_all[li], v_all[li], kv_mask, not train
-            )
+            baseline = apply_layer(baseline, sources, kv_w[li], kv_b[li], not train)
         return baseline
 
 

@@ -62,11 +62,20 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 
 
-def param_spec(path: str, leaf=None, tp: bool = True) -> P:
-    """PartitionSpec for a parameter identified by its '/'-joined path."""
+def param_spec(path: str, leaf=None, tp: bool = True, mesh: Mesh | None = None) -> P:
+    """PartitionSpec for a parameter identified by its '/'-joined path.
+
+    When ``leaf`` and ``mesh`` are given, a rule whose sharded dimensions don't
+    divide evenly by the mesh axis size falls back to replication (e.g. a vocab
+    not divisible by the model axis)."""
     if tp:
         for pattern, spec in _TP_RULES:
             if re.match(pattern, path):
+                if leaf is not None and mesh is not None:
+                    shape = getattr(leaf, "shape", ())
+                    for dim, axis in enumerate(spec):
+                        if axis is not None and shape[dim] % mesh.shape[axis] != 0:
+                            return P()
                 return spec
     return P()
 
@@ -81,7 +90,7 @@ def _path_str(key_path) -> str:
 def param_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
     """Pytree of NamedShardings matching ``params``."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(_path_str(path), leaf, tp)),
+        lambda path, leaf: NamedSharding(mesh, param_spec(_path_str(path), leaf, tp, mesh)),
         params,
     )
 

@@ -39,7 +39,7 @@ def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainSt
     def opt_shard(path, leaf):
         if getattr(leaf, "ndim", 0) == 0:
             return rep
-        return NamedSharding(mesh, param_spec(_path_str(path), leaf, tp))
+        return NamedSharding(mesh, param_spec(_path_str(path), leaf, tp, mesh))
 
     opt_shardings = jax.tree_util.tree_map_with_path(opt_shard, state.opt_state)
     # batch_stats replicated (the conv trunk is replicated)

@@ -97,6 +97,17 @@ class Pipeline:
         self.state = self._init_state()
         self.train_loss_history: list[float] = []
 
+        # Device mesh (DP × TP). Enabled via Config.mesh.enabled (CLI:
+        # --mesh.enabled=true [--mesh.model_axis_size=N]): train batches are
+        # sharded over the data axis, encode+beam-search run batch-sharded, and
+        # params/optimizer state are sharded by the TP rules (or replicated).
+        self.mesh = None
+        self._state_shardings = None
+        if cfg.mesh.enabled and jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.mesh)
+
         self.ckpt_manager = CheckpointManager(checkpoint_path, max_to_keep=100)
         self.smart_ckpt_saver = SmartCheckpointSaver(
             self.ckpt_manager,
@@ -113,6 +124,14 @@ class Pipeline:
             # COCO mobilenet-retinanet (models/retinanet.py:277-278)
             report = self.load_pretrained_retinanet(cfg.retinanet_weight_path)
             print(f"Loaded pretrained retinanet weights: {report!r}")
+
+        if self.mesh is not None:
+            from ..parallel.train import shard_state
+
+            self.state, self._state_shardings = shard_state(
+                self.mesh, self.state, tp=cfg.mesh.model_axis_size > 1
+            )
+            print(f"Mesh active: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
 
         self._train_step = self._build_train_step()
 
@@ -139,9 +158,26 @@ class Pipeline:
         return v
 
     # ------------------------------------------------------------------
+    @property
+    def _data_axis_size(self) -> int:
+        return self.mesh.shape[self.config.mesh.data_axis] if self.mesh is not None else 1
+
+    def _pad_batch(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
+        """Zero-pad the batch axis to a multiple of the mesh data-axis size."""
+        pad = (-arr.shape[0]) % self._data_axis_size
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)])
+        return arr, pad
+
     def _build_train_step(self):
         model, optimizer = self.transformer, self.optimizer
         seed = self.config.seed
+        if self.mesh is not None:
+            from ..parallel.train import make_sharded_train_step
+
+            return make_sharded_train_step(
+                self.mesh, model, optimizer, self._state_shardings, seed=seed
+            )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, img, caption_token):
@@ -167,7 +203,17 @@ class Pipeline:
         return train_step
 
     def train_step(self, img, caption_token) -> float:
-        """One optimizer step; returns the (host) loss value."""
+        """One optimizer step; returns the (host) loss value.
+
+        Under a mesh, the batch is zero-padded to a multiple of the data-axis
+        size; padded rows carry all-zero captions, so the masked loss (and its
+        gradients) ignore them entirely — only BatchNorm running statistics see
+        the padding, and only on non-divisible tail batches."""
+        img = np.asarray(img)
+        caption_token = np.asarray(caption_token, np.int32)
+        if self.mesh is not None:
+            img, _ = self._pad_batch(img)
+            caption_token, _ = self._pad_batch(caption_token)
         img = jnp.asarray(img)
         caption_token = jnp.asarray(caption_token, jnp.int32)
         self.state, loss = self._train_step(self.state, img, caption_token)
@@ -179,6 +225,10 @@ class Pipeline:
     @functools.cached_property
     def _encode(self):
         model = self.transformer
+        if self.mesh is not None:
+            from ..parallel.train import make_sharded_decode_encode
+
+            return make_sharded_decode_encode(self.mesh, model)
 
         @jax.jit
         def encode(variables, images):
@@ -188,9 +238,17 @@ class Pipeline:
 
     def predict_batch(self, images, beam_n: int | None = None):
         """Caption a batch of images. ``images``: (B, S, S, 3) in [-1, 1].
-        Returns (sequences (B, L) int32 np, lengths (B,) np)."""
+        Returns (sequences (B, L) int32 np, lengths (B,) np).
+
+        Under a mesh the batch is padded to a multiple of the data-axis size
+        (padded rows decoded and discarded) so encode + beam search stay
+        batch-sharded with static shapes."""
         cfg = self.config
         beam_n = cfg.beam_search_n if beam_n is None else beam_n
+        n_real = np.asarray(images).shape[0]
+        pad = 0
+        if self.mesh is not None:
+            images, pad = self._pad_batch(np.asarray(images))
         enc = self._encode(self.variables, jnp.asarray(images))
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
         # reference's degenerate tie-breaking reproduced bit-exactly in f32)
@@ -205,7 +263,10 @@ class Pipeline:
             start_token=self.start_token, end_token=self.end_token,
             parity=cfg.beam_parity_mode, fused=fused,
         )
-        return np.asarray(seqs), np.asarray(lengths)
+        seqs, lengths = np.asarray(seqs), np.asarray(lengths)
+        if pad:
+            seqs, lengths = seqs[:n_real], lengths[:n_real]
+        return seqs, lengths
 
     def predict(self, img, max_seq_len: int | None = None):
         """Single-image parity API (reference ``pipeline.py:82-154``): returns the
@@ -225,7 +286,8 @@ class Pipeline:
         tokens = np.concatenate([[self.start_token], np.asarray(seq)])
         tokens = tokens[: self.max_seq_len]  # PE table covers max_seq_len positions
         tar = jnp.asarray(tokens, jnp.int32)[None, :]
-        enc = self._encode(self.variables, jnp.asarray(np.asarray(img)[None]))
+        imgs, _ = self._pad_batch(np.asarray(img)[None])
+        enc = self._encode(self.variables, jnp.asarray(imgs))[:1]
         _logits, attention = self.transformer.apply(
             self.variables, enc, tar, False, create_masks(tar)
         )
@@ -241,6 +303,9 @@ class Pipeline:
         decode runs batched)."""
         results = []
         batch = max(self.config.decode_batch, 1)
+        # keep decode batches divisible by the data axis so nothing re-pads
+        d = self._data_axis_size
+        batch = ((batch + d - 1) // d) * d
         if hasattr(generator, "iter_batches") and batch > 1:
             for imgs, img_ids, valid in generator.iter_batches(batch):
                 seqs, lengths = self.predict_batch(imgs)

@@ -1,0 +1,129 @@
+"""Cross-implementation validation of the caption metrics (VERDICT r1 #4).
+
+pycocoevalcap (the reference's scorer — ``/root/reference/dataset.py:277-298``)
+is not installable in this environment (no pip, Java-backed METEOR), so golden
+fixtures cannot be captured from it directly. Instead the scorers that gate
+checkpointing are validated against *independent* implementations:
+
+  * BLEU-1..4 — against nltk's ``corpus_bleu`` (independent lineage, same
+    corpus aggregation + closest-reference-length brevity penalty that
+    pycocoevalcap's "closest" option computes);
+  * CIDEr-D — against a clean-room numpy reimplementation of the published
+    CIDEr-D algorithm (Vedantam et al. 2015, §3.2: tf-idf over 1..4-grams,
+    count clipping, Gaussian length penalty sigma=6, ×10), structured
+    differently from the package scorer (dense vectors over the n-gram union
+    vs. sparse dict accumulation).
+
+METEOR remains a documented approximation (pycocoevalcap wraps METEOR-1.5's
+Java jar with paraphrase tables; nltk's METEOR needs absent wordnet data) —
+see ``data/metrics/meteor.py``; it is not used for checkpoint gating.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from fpn_mt_image_captioning_tpu.data.metrics import CiderScorer, corpus_bleu
+
+nltk = pytest.importorskip("nltk")
+
+
+def make_corpus(n_images=30, seed=0):
+    """Synthetic captions with heavy phrase overlap so 4-gram precisions are
+    non-zero (no smoothing in either BLEU implementation)."""
+    rng = random.Random(seed)
+    phrases = [
+        "the lungs are clear".split(),
+        "no acute cardiopulmonary abnormality".split(),
+        "heart size is normal".split(),
+        "there is no pleural effusion".split(),
+        "stable cardiomediastinal silhouette seen".split(),
+        "no focal airspace consolidation".split(),
+    ]
+    hyps, refs = {}, {}
+    for i in range(n_images):
+        base = rng.sample(phrases, 3)
+        hyp = [w for p in base for w in p]
+        if rng.random() < 0.5:
+            hyp = hyp[: rng.randrange(6, len(hyp))]  # truncations vary lengths
+        refs_i = []
+        for _ in range(rng.randrange(2, 5)):
+            rp = rng.sample(phrases, rng.randrange(2, 4))
+            refs_i.append([w for p in rp for w in p])
+        refs_i.append([w for p in base for w in p])  # one close reference
+        hyps[i] = [hyp]
+        refs[i] = refs_i
+    return hyps, refs
+
+
+def test_bleu_matches_nltk_corpus_bleu():
+    from nltk.translate.bleu_score import corpus_bleu as nltk_corpus_bleu
+
+    hyps, refs = make_corpus()
+    ids = sorted(hyps)
+    ours = corpus_bleu(hyps, refs)
+    for k in range(1, 5):
+        weights = tuple([1.0 / k] * k)
+        theirs = nltk_corpus_bleu(
+            [refs[i] for i in ids], [hyps[i][0] for i in ids], weights=weights
+        )
+        assert ours[k - 1] == pytest.approx(theirs, rel=1e-9), (k, ours[k - 1], theirs)
+    # sanity: the corpus must actually exercise 4-grams
+    assert ours[3] > 0.05
+
+
+def cider_d_reference(hyps, refs, n_max=4, sigma=6.0):
+    """Clean-room CIDEr-D (Vedantam et al. 2015), dense-vector formulation."""
+    def ngrams(toks, n):
+        return [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    ids = sorted(hyps)
+    # document frequency: images whose reference set contains the n-gram
+    df = {}
+    for i in ids:
+        seen = set()
+        for r in refs[i]:
+            for n in range(1, n_max + 1):
+                seen.update(ngrams(r, n))
+        for g in seen:
+            df[g] = df.get(g, 0) + 1
+    log_images = math.log(len(ids))
+
+    per_image = {}
+    for i in ids:
+        hyp = hyps[i][0]
+        score_n = np.zeros(n_max)
+        for ref in refs[i]:
+            for n in range(1, n_max + 1):
+                union = sorted(set(ngrams(hyp, n)) | set(ngrams(ref, n)))
+                index = {g: j for j, g in enumerate(union)}
+                h = np.zeros(len(union))
+                r = np.zeros(len(union))
+                for g in ngrams(hyp, n):
+                    h[index[g]] += 1
+                for g in ngrams(ref, n):
+                    r[index[g]] += 1
+                idf = np.array(
+                    [log_images - math.log(max(1.0, df.get(g, 0))) for g in union]
+                )
+                h_w, r_w = h * idf, r * idf
+                num = float(np.minimum(h_w, r_w) @ r_w)  # count clipping ("-D")
+                denom = float(np.linalg.norm(h_w) * np.linalg.norm(r_w))
+                sim = num / denom if denom > 0 else 0.0
+                sim *= math.exp(-((len(hyp) - len(ref)) ** 2) / (2 * sigma**2))
+                score_n[n - 1] += sim
+        per_image[i] = float(score_n.mean()) / len(refs[i]) * 10.0
+    corpus = sum(per_image.values()) / len(per_image)
+    return corpus, per_image
+
+
+def test_cider_matches_independent_reimplementation():
+    hyps, refs = make_corpus(n_images=30, seed=1)
+    corpus_ours, per_img_ours = CiderScorer().compute(hyps, refs)
+    corpus_ref, per_img_ref = cider_d_reference(hyps, refs)
+    assert corpus_ours == pytest.approx(corpus_ref, rel=1e-9)
+    for i in per_img_ref:
+        assert per_img_ours[i] == pytest.approx(per_img_ref[i], rel=1e-9), i
+    assert 0.0 < corpus_ours < 10.0

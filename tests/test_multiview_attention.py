@@ -1,28 +1,34 @@
-"""Batched multi-view attention must equal the per-view MHA formulation
-(reference EncoderLayer semantics, transformer.py:186-190)."""
+"""Transposed-projection multi-view attention must equal the naive per-view MHA
+formulation (reference EncoderLayer semantics, transformer.py:162,:186-190):
+one MultiHeadAttention per view — k/v projected from the view tokens, q from
+the baseline — with the per-view outputs summed."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fpn_mt_image_captioning_tpu.models.attention import MultiViewAttention
+from fpn_mt_image_captioning_tpu.models.attention import (
+    MultiViewAttention,
+    _view_groups,
+)
 
 V, B, LQ, D, H = 3, 2, 4, 16, 4
 DH = D // H
 
 
-def per_view_reference(params, baseline, sources):
-    """Loop formulation: softmax per view, per-view out-proj, summed."""
+def per_view_reference(params, kv_w, kv_b, baseline, sources):
+    """Loop formulation: project k/v per view, per-view softmax + out-proj, sum."""
     wq, bq = np.asarray(params["wq"], np.float64), np.asarray(params["bq"], np.float64)
     wo, bo = np.asarray(params["wo"], np.float64), np.asarray(params["bo"], np.float64)
+    kv_w, kv_b = np.asarray(kv_w, np.float64), np.asarray(kv_b, np.float64)
     base = np.asarray(baseline, np.float64)
     total = np.zeros_like(base)
     for i, src in enumerate(sources):
         src = np.asarray(src, np.float64)
         lk = src.shape[1]
         q = (base @ wq[i] + bq[i]).reshape(B, LQ, H, DH)
-        k = src.reshape(B, lk, H, DH)
-        v = src.reshape(B, lk, H, DH)
+        k = (src @ kv_w[i, :, :D] + kv_b[i, :D]).reshape(B, lk, H, DH)
+        v = (src @ kv_w[i, :, D:] + kv_b[i, D:]).reshape(B, lk, H, DH)
         logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(DH)
         w = np.exp(logits - logits.max(-1, keepdims=True))
         w = w / w.sum(-1, keepdims=True)
@@ -31,28 +37,45 @@ def per_view_reference(params, baseline, sources):
     return total
 
 
+def _make_inputs(rng, lengths):
+    keys = jax.random.split(rng, V + 3)
+    baseline = jax.random.normal(keys[0], (B, LQ, D))
+    sources = [jax.random.normal(keys[1 + i], (B, lengths[i], D)) for i in range(V)]
+    kv_w = jax.random.normal(keys[V + 1], (V, D, 2 * D)) * 0.3
+    kv_b = jax.random.normal(keys[V + 2], (V, 2 * D)) * 0.1
+    return baseline, sources, kv_w, kv_b
+
+
 def test_mva_equals_per_view_loop(rng):
     mva = MultiViewAttention(num_views=V, d_model=D, num_heads=H, rate=0.0)
-    baseline = jax.random.normal(rng, (B, LQ, D))
-    lengths = [6, 3, 1]  # unequal view lengths exercise the padding path
-    keys = jax.random.split(rng, V)
-    sources = [jax.random.normal(keys[i], (B, lengths[i], D)) for i in range(V)]
+    baseline, sources, kv_w, kv_b = _make_inputs(rng, [6, 3, 1])
 
-    lmax = max(lengths)
-    # stack sources padded, pre-split into heads (identity K/V projection)
-    padded = jnp.stack(
-        [jnp.pad(s, ((0, 0), (0, lmax - s.shape[1]), (0, 0))) for s in sources]
-    )
-    kv_mask = jnp.stack(
-        [(jnp.arange(lmax) >= l).astype(jnp.float32) for l in lengths]
-    )
-    kh = padded.reshape(V, B, lmax, H, DH)
+    variables = mva.init(rng, baseline, sources, kv_w, kv_b)
+    out = mva.apply(variables, baseline, sources, kv_w, kv_b)
 
-    variables = mva.init(rng, baseline, kh, kh, kv_mask)
-    out = mva.apply(variables, baseline, kh, kh, kv_mask)
-
-    expected = per_view_reference(variables["params"], baseline, sources)
+    expected = per_view_reference(variables["params"], kv_w, kv_b, baseline, sources)
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_mva_solo_and_stacked_groups_agree(rng):
+    """A long view (solo path) mixed with short ones (stacked path) must still
+    match the naive loop — exercises both branches of _view_groups."""
+    mva = MultiViewAttention(num_views=V, d_model=D, num_heads=H, rate=0.0)
+    lengths = [600, 9, 2]  # 600 ≥ solo threshold
+    assert _view_groups(lengths) == [[0], [1, 2]]
+    baseline, sources, kv_w, kv_b = _make_inputs(rng, lengths)
+
+    variables = mva.init(rng, baseline, sources, kv_w, kv_b)
+    out = mva.apply(variables, baseline, sources, kv_w, kv_b)
+
+    expected = per_view_reference(variables["params"], kv_w, kv_b, baseline, sources)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_view_groups():
+    assert _view_groups([1024, 256, 64, 4]) == [[0], [1, 2, 3]]
+    assert _view_groups([256, 64, 16, 1]) == [[0, 1, 2, 3]]
+    assert _view_groups([1024, 1024]) == [[0], [1]]
 
 
 def test_stacked_init_has_per_matrix_he_statistics(rng):
@@ -74,8 +97,7 @@ def test_stacked_init_has_per_matrix_he_statistics(rng):
 
     # and the in-model params actually use it
     mva = MultiViewAttention(num_views=V, d_model=D, num_heads=H, rate=0.0)
-    base = jnp.zeros((B, LQ, D))
-    kh = jnp.zeros((V, B, 4, H, DH))
-    params = mva.init(rng, base, kh, kh, jnp.zeros((V, 4)))["params"]
+    baseline, sources, kv_w, kv_b = _make_inputs(rng, [6, 3, 1])
+    params = mva.init(rng, baseline, sources, kv_w, kv_b)["params"]
     sd = float(np.asarray(params["wq"]).std())
     assert abs(sd - np.sqrt(2.0 / D)) / np.sqrt(2.0 / D) < 0.2, sd

@@ -88,3 +88,60 @@ def test_sharded_train_step_matches_single_device(rng):
     b = jax.tree.leaves(new_state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_mesh_enabled_pipeline_end_to_end(tmp_path):
+    """VERDICT r1 #7: a mesh-enabled Pipeline (DP×TP from Config) must train on
+    zero-padded sharded batches and run Pipeline.evaluate batch-sharded
+    end-to-end on the 8-virtual-device mesh."""
+    from fixtures import make_synthetic_dataset
+    from fpn_mt_image_captioning_tpu.config import Config, MeshConfig
+    from fpn_mt_image_captioning_tpu.data.dataset import (
+        COCO_Images_ImageID,
+        get_coco_images_dataset,
+    )
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    datadir = make_synthetic_dataset(str(tmp_path / "data"), n_train=6, n_val=3,
+                                     image_size=256)
+    cfg = Config(
+        datadir=datadir, image_input_size=256, batch_size=3,
+        num_layers=2, d_model=32, dff=64, num_heads=4, beam_search_n=2,
+        epochs=2, n_val_dataset=3, compute_dtype="float32", decode_batch=2,
+        tokenizer_filename=str(tmp_path / "_tok.json"),
+        additional_filename=str(tmp_path / "_add.json"),
+        transformer_checkpoint_path=str(tmp_path / "ckpt"),
+        result_dir=str(tmp_path / "results"),
+        warm_up_steps=10,
+        mesh=MeshConfig(enabled=True, data_axis_size=4, model_axis_size=2),
+    )
+    dataset, max_seq_len, _ = get_coco_images_dataset(
+        cfg.datadir, cfg.datatype_train, config=cfg
+    )
+    pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
+                        max_seq_len, config=cfg)
+    try:
+        assert pipeline.mesh is not None
+        assert dict(zip(pipeline.mesh.axis_names, pipeline.mesh.devices.shape)) == {
+            "data": 4, "model": 2,
+        }
+        # params actually sharded by the TP rules
+        kv = pipeline.state.params["encoder"]["kv_proj"]
+        assert kv.sharding.spec == jax.sharding.PartitionSpec(None, None, None, "model")
+
+        # batch 3 is NOT divisible by data=4 — padding path must handle it
+        losses = [pipeline.train_step(img, cap) for img, cap in dataset]
+        assert all(np.isfinite(l) for l in losses)
+
+        val = COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
+                                  image_size=256, seed=0)
+        results = pipeline.evaluate(val)  # decode_batch=2 rounds up to 4
+        assert len(results) == 3
+        assert all(isinstance(r["caption"], str) for r in results)
+        # single-image path pads 1 -> 4 under the mesh
+        img = next(iter(val))[0]
+        seq = pipeline.predict(np.asarray(img))
+        assert seq.ndim == 1
+    finally:
+        pipeline.close()

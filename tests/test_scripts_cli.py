@@ -65,6 +65,9 @@ def test_train_test_show_results_flow(workspace):
     r3 = run_script("show_results.py", COMMON, cwd=workspace)
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert "generated caption" in r3.stdout
+    # image display (reference dataset.py:300-324): headless backend saves PNGs
+    rendered = list((workspace / "results").glob("img_*.png"))
+    assert len(rendered) == 2, r3.stdout[-2000:]
 
 
 def test_convert_dataset_cli(tmp_path):
