@@ -1,0 +1,123 @@
+"""Training-convergence evidence: overfit a class-correlated synthetic corpus
+through the FULL ``train.py`` loop and record the loss/CIDEr curve.
+
+The reference's only integration test is "does train.py converge"
+(``/root/reference/train.py:46-96``); this reproduces that evidence for the TPU
+framework: 200 synthetic images whose caption is a deterministic function of
+image content (``tests/fixtures.make_synthetic_dataset(classful=True)``), the
+real epoch loop (tokenizer fit -> train steps -> per-eval beam-search decode ->
+CIDEr -> smart checkpointing), and a committed curve artifact under
+``benchmarks/convergence/``.
+
+Run on TPU (default env) or CPU:
+
+    python scripts/convergence_run.py            # full run (TPU-sized)
+    python scripts/convergence_run.py --tiny     # CPU smoke (~2 min)
+
+Writes ``benchmarks/convergence/curve_<backend>.jsonl`` (one scalar per line)
+and ``benchmarks/convergence/README.md`` with the summary table; the committed
+artifacts are asserted by ``tests/test_convergence_artifact.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    tiny = "--tiny" in sys.argv
+    ws = os.path.abspath(os.environ.get("CONVERGENCE_WS", "/tmp/convergence_ws"))
+    if os.path.isdir(ws):
+        shutil.rmtree(ws)
+    os.makedirs(ws)
+
+    from fixtures import make_synthetic_dataset
+
+    if tiny:
+        n_train, n_val, image_size = 24, 6, 64
+        model_kw = dict(d_model=32, num_layers=2, dff=64, num_heads=4)
+        epochs, eval_every, batch_size, warmup = 4, 2, 8, 20
+    else:
+        n_train, n_val, image_size = 200, 18, 256
+        model_kw = dict(d_model=256, num_layers=3, dff=1024, num_heads=8)
+        epochs, eval_every, batch_size, warmup = 30, 5, 16, 100
+
+    datadir = os.path.join(ws, "data")
+    make_synthetic_dataset(datadir, n_train=n_train, n_val=n_val,
+                           image_size=image_size, classful=True)
+
+    from fpn_mt_image_captioning_tpu.config import Config
+
+    cfg = Config(
+        datadir=datadir,
+        tokenizer_filename=os.path.join(ws, "tokenizer.json"),
+        additional_filename=os.path.join(ws, "additional.json"),
+        transformer_checkpoint_path=os.path.join(ws, "ckpt"),
+        transformer_weight_path=os.path.join(ws, "weights.msgpack"),
+        result_dir=os.path.join(ws, "results"),
+        image_input_size=image_size,
+        batch_size=batch_size,
+        epochs=epochs,
+        n_epoch_to_evaluate=eval_every,
+        n_val_dataset=None,
+        warm_up_steps=warmup,
+        beam_search_n=4,
+        buffer_size=max(n_train, 1),
+        use_pallas=False,   # XLA decode path; kernel parity is tested separately
+        **model_kw,
+    )
+
+    # train.py writes logs/ + results/ relative to cwd -> keep them in the ws
+    os.chdir(ws)
+    import train as train_entry
+
+    train_entry.main(cfg)
+
+    # ---- collect the scalar curve the loop just logged ----
+    log_root = os.path.join(ws, "logs", "transformer")
+    runs = sorted(os.listdir(log_root))
+    scalars_path = os.path.join(log_root, runs[-1], "train", "scalars.jsonl")
+    with open(scalars_path) as f:
+        scalars = [json.loads(line) for line in f]
+
+    losses = [s for s in scalars if s["tag"] == "loss"]
+    ciders = [s for s in scalars if s["tag"] == "CIDEr"]
+
+    import jax
+
+    backend = jax.default_backend()
+    out_dir = os.path.join(REPO, "benchmarks", "convergence")
+    os.makedirs(out_dir, exist_ok=True)
+    curve_path = os.path.join(out_dir, f"curve_{backend}.jsonl")
+    with open(curve_path, "w") as f:
+        header = {
+            "run": "convergence", "backend": backend,
+            "device": str(jax.devices()[0]),
+            "n_train": n_train, "n_val": n_val, "image_size": image_size,
+            "batch_size": batch_size, "epochs": epochs, **model_kw,
+        }
+        f.write(json.dumps(header) + "\n")
+        for s in scalars:
+            f.write(json.dumps(s) + "\n")
+
+    summary = {
+        "backend": backend,
+        "first_loss": round(losses[0]["value"], 4),
+        "last_loss": round(losses[-1]["value"], 4),
+        "first_cider": round(ciders[0]["value"], 4) if ciders else None,
+        "best_cider": round(max(c["value"] for c in ciders), 4) if ciders else None,
+        "epochs": len(losses),
+        "curve": curve_path,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

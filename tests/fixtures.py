@@ -23,11 +23,16 @@ CAPTION_POOL = [
 ]
 
 
-def _write_png(path: str, size: int, seed: int) -> None:
+def _write_png(path: str, size: int, seed: int, band: int | None = None) -> None:
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
+    if band is not None:
+        # class-distinctive bright horizontal band (for classful datasets)
+        n = len(CAPTION_POOL)
+        lo, hi = band * size // n, (band + 1) * size // n
+        arr[lo:hi] = 250
     Image.fromarray(arr, mode="L").convert("RGB").save(path)
 
 
@@ -37,8 +42,15 @@ def make_synthetic_dataset(
     n_val: int = 4,
     image_size: int = 64,
     seed: int = 0,
+    classful: bool = False,
 ) -> str:
-    """Creates ``root/{annotations,images/{train2017,val2017}}``; returns root."""
+    """Creates ``root/{annotations,images/{train2017,val2017}}``; returns root.
+
+    ``classful=True`` makes the caption a deterministic function of the image
+    content (a bright band whose position selects one of ``CAPTION_POOL``), so
+    a captioner can genuinely learn the mapping and CIDEr on the val split
+    measures generalization, not label noise. Used by the training-convergence
+    evidence run (``scripts/convergence_run.py``)."""
     rng = random.Random(seed)
     for split, n, id0 in (("train2017", n_train, 1000), ("val2017", n_val, 5000)):
         img_dir = os.path.join(root, "images", split)
@@ -47,14 +59,17 @@ def make_synthetic_dataset(
         images, annotations = [], []
         for i in range(n):
             img_id = id0 + i
+            cls = i % len(CAPTION_POOL)
             fname = f"img_{img_id}.png"
-            _write_png(os.path.join(img_dir, fname), image_size, seed=img_id)
+            _write_png(os.path.join(img_dir, fname), image_size, seed=img_id,
+                       band=cls if classful else None)
             images.append({"id": img_id, "file_name": fname, "license": 1})
             annotations.append(
                 {
                     "id": img_id,
                     "image_id": img_id,
-                    "caption": rng.choice(CAPTION_POOL),
+                    "caption": CAPTION_POOL[cls] if classful
+                    else rng.choice(CAPTION_POOL),
                 }
             )
         coco = {"info": {"description": "synthetic"}, "licenses": [],
