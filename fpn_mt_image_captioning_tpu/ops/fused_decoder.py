@@ -166,6 +166,8 @@ def _decoder_kernel(
     k_tile_s,                # (Lpad, TILE, d)
     v_tile_s,                # (Lpad, TILE, d)
     ctx_s,                   # (BK, d)
+    lg_s,                    # (Lpad, TILE, 128) f32 — per-head logits staging
+    ctx_acc_s,               # (TILE, d) f32 — chunked context accumulator
     sem,                     # DMA semaphores (4,)
     *,
     num_layers: int,
@@ -236,22 +238,32 @@ def _decoder_kernel(
 
         q_scaled = (q.astype(f32) * scale).astype(dtype)
 
-        # K/V history reads are chunked over positions and fetched only while
-        # the chunk contains valid slots (chunk_start <= pos) — early decode
-        # steps read a fraction of the cache instead of all Lpad slots,
-        # halving average HBM traffic over a full generation. Skipped chunks
-        # leave stale scratch; those positions are masked with -1e9 before the
-        # softmax, so their (finite garbage) logits never contribute.
+        # The whole history side of self-attention is chunked over positions and
+        # each chunk runs only while it contains valid slots (chunk_start <=
+        # pos): the K/V HBM reads, the ancestry one-hot gather, the per-head
+        # logit matmul and the weight-expansion matmul all scale with the
+        # current position instead of Lpad — over a 60-token generation that
+        # halves both the history DMA traffic and the attention matmul FLOPs
+        # (the dominant per-step cost). Skipped chunks leave stale scratch;
+        # their logit rows are overwritten with -1e9 before the softmax, so
+        # stale data (even NaN bits in uninitialized VMEM) never contributes.
         chunk = 8
         n_chunks = lpad // chunk
+        dn = (((2,), (1,)), ((0,), (0,)))
 
         for ti in range(n_tiles):
             r0 = ti * tile
+            q_t = q_scaled[r0 : r0 + tile, :]
+
+            # pass 1 per valid chunk: DMA K/V history, ancestry-gather K
+            # (block-diagonal one-hot matmul — 8× the FLOPs of per-group GEMMs
+            # but M=tile instead of M=beam on the MXU and zero group reshapes),
+            # then per-head logits via head-segment matmul (q ⊙ k) @ S
             for c in range(n_chunks):
                 c0 = c * chunk
 
                 @pl.when(c0 <= pos)
-                def _(c0=c0, c=c):
+                def _(c0=c0):
                     kc = pltpu.make_async_copy(
                         k_self_out.at[layer, pl.ds(c0, chunk), pl.ds(r0, tile), :],
                         k_tile_s.at[pl.ds(c0, chunk)],
@@ -267,43 +279,45 @@ def _decoder_kernel(
                     kc.wait()
                     vc.wait()
 
-            # Ancestry gather as a block-diagonal one-hot matmul over the WHOLE
-            # tile: k_eff[l, r, :] = Σ_r' oh[l, r, r'] · k[l, r', :] where
-            # oh[l, r, r'] = (same beam group) ∧ (ancestor beam matches). The
-            # block-diagonal form does 8× the FLOPs of per-group batched GEMMs
-            # but runs at M=tile instead of M=beam on the MXU (≥8× better
-            # utilization) and needs zero group reshapes.
-            oh_t = oh_ref[ti]                                   # (L, T, T)
-            dn = (((2,), (1,)), ((0,), (0,)))
-            k_eff = jax.lax.dot_general(
-                oh_t, k_tile_s[:], dn, preferred_element_type=f32
-            ).astype(dtype)                                      # (L, T, d)
-            v_eff = jax.lax.dot_general(
-                oh_t, v_tile_s[:], dn, preferred_element_type=f32
-            )
+                    k_eff_c = jax.lax.dot_general(
+                        oh_ref[ti, c0 : c0 + chunk], k_tile_s[c0 : c0 + chunk],
+                        dn, preferred_element_type=f32,
+                    ).astype(dtype)                               # (chunk, T, d)
+                    prod_c = jnp.broadcast_to(q_t[None], (chunk, tile, d)) * k_eff_c
+                    lg_s[c0 : c0 + chunk] = jnp.dot(
+                        prod_c.reshape(chunk * tile, d), S,
+                        preferred_element_type=f32,
+                    ).reshape(chunk, tile, hp)
 
-            # per-head logits via head-segment matmul (q ⊙ k) @ S — faster than
-            # a per-head lane-slice loop despite redundant FLOPs: one big MXU op
-            # beats 8 poorly-shaped VPU loops
-            q_t = q_scaled[r0 : r0 + tile, :]
-            prod = jnp.broadcast_to(q_t[None], (lpad, tile, d)) * k_eff
-            lg = jnp.dot(
-                prod.reshape(lpad * tile, d), S, preferred_element_type=f32
-            ).reshape(lpad, tile, hp)
-
+            lg = lg_s[:]
             inv3 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0) > pos
             lg = jnp.where(inv3, -1e9, lg)
             m = jnp.max(lg, axis=0, keepdims=True)
             e = jnp.exp(lg - m)
             w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, T, 128) f32
 
-            # expand per-head weights back over lanes and contract positions
-            w_d = jnp.dot(
-                w.reshape(lpad * tile, hp).astype(dtype), ST,
-                preferred_element_type=f32,
-            ).reshape(lpad, tile, d)
-            ctx = (w_d * v_eff).sum(0)                           # (T, d) f32
-            ctx_s[r0 : r0 + tile, :] = ctx.astype(dtype)
+            # pass 2 per valid chunk: expand per-head weights back over lanes
+            # (@ Sᵀ), ancestry-gather V, accumulate the context contraction
+            for c in range(n_chunks):
+                c0 = c * chunk
+
+                @pl.when(c0 <= pos)
+                def _(c0=c0, first=(c == 0)):
+                    w_d_c = jnp.dot(
+                        w[c0 : c0 + chunk].reshape(chunk * tile, hp).astype(dtype),
+                        ST, preferred_element_type=f32,
+                    ).reshape(chunk, tile, d)
+                    v_eff_c = jax.lax.dot_general(
+                        oh_ref[ti, c0 : c0 + chunk], v_tile_s[c0 : c0 + chunk],
+                        dn, preferred_element_type=f32,
+                    )
+                    contrib = (w_d_c * v_eff_c).sum(0)            # (T, d) f32
+                    if first:  # chunk 0 is always valid — initializes the acc
+                        ctx_acc_s[:] = contrib
+                    else:
+                        ctx_acc_s[:] = ctx_acc_s[:] + contrib
+
+            ctx_s[r0 : r0 + tile, :] = ctx_acc_s[:].astype(dtype)
 
         ln = ln_ref[0]  # (8, d) f32
         attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
@@ -467,6 +481,8 @@ def fused_decode_step(
             pltpu.VMEM((lpad, tile, d), dtype),
             pltpu.VMEM((lpad, tile, d), dtype),
             pltpu.VMEM((bk, d), dtype),
+            pltpu.VMEM((lpad, tile, 128), jnp.float32),
+            pltpu.VMEM((tile, d), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

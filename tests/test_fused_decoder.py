@@ -84,6 +84,56 @@ def test_fused_matches_xla_decode(setup, rng):
             src_local = src_local.at[:, t + 1].set(own % BEAM)
 
 
+def test_fused_matches_xla_multichunk(rng):
+    """Positions spanning several 8-slot history chunks: the chunk-gated DMA,
+    ancestry matmuls, and context accumulation must agree with XLA at every
+    step, including steps whose valid history partially fills a chunk."""
+    max_len = 18                       # lpad = 24 -> 3 chunks
+    model = Transformer(
+        num_layers=NL, d_model=D, num_heads=H, dff=DFF,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=max_len + 1,
+    )
+    enc = jax.random.normal(rng, (B, 4, D))
+    tar = jnp.ones((B, 4), dtype=jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, enc, tar, False, None)
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    lpad = round_up(max_len + 1, 8)
+
+    enc_tiled = jnp.repeat(enc, BEAM, axis=0)
+    xla_cache = model.apply(variables, enc_tiled, lpad, method=Transformer.init_cache)
+    fused_cache = init_fused_cache(packed, enc, BEAM, max_len)
+
+    emb_table = np.asarray(params["decoder"]["embedding"]["embedding"])
+    pe = raw_positional_encoding(max_len + 1, D)
+    own = jnp.arange(BK, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(own[:, None], (BK, lpad))
+    src_local = jnp.broadcast_to((own % BEAM)[:, None], (BK, lpad))
+
+    tokens_per_step = jax.random.randint(rng, (max_len, BK), 1, VOCAB)
+    for t in range(max_len):
+        tokens = tokens_per_step[t]
+        xla_logits, xla_cache = model.apply(
+            variables, tokens, jnp.int32(t), xla_cache, src_flat,
+            method=Transformer.decode_step,
+        )
+        x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
+        total, fused_cache = fused_decode_step(
+            packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
+            jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
+            num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
+        )
+        expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(total[:, :VOCAB]), expected, atol=3e-4, err_msg=f"step {t}"
+        )
+        if t in (5, 9, 13):  # reorders landing in different chunks
+            parent = jnp.asarray(np.resize([1, 0], BEAM), jnp.int32)
+            flat_parent = (jnp.arange(BK) // BEAM) * BEAM + jnp.tile(parent, B)
+            src_flat = jnp.take(src_flat, flat_parent, axis=0).at[:, t + 1].set(own)
+            src_local = jnp.take(src_local, flat_parent, axis=0).at[:, t + 1].set(own % BEAM)
+
+
 def test_fused_cache_positions_written(setup, rng):
     """The aliased HBM cache must contain the projected K rows at each position."""
     model, variables, enc = setup
