@@ -127,3 +127,52 @@ def test_cider_matches_independent_reimplementation():
     for i in per_img_ref:
         assert per_img_ours[i] == pytest.approx(per_img_ref[i], rel=1e-9), i
     assert 0.0 < corpus_ours < 10.0
+
+
+def rouge_l_reference(hyps, refs, beta=1.2):
+    """Clean-room ROUGE-L (pycocoevalcap semantics: max precision and max
+    recall across references, F-beta combine, mean over images). LCS via
+    top-down memoized recursion — algorithmically distinct from the package's
+    bottom-up rolling-row DP."""
+    import functools
+    import sys
+
+    def lcs(a, b):
+        sys.setrecursionlimit(100000)
+
+        @functools.lru_cache(maxsize=None)
+        def go(i, j):
+            if i == len(a) or j == len(b):
+                return 0
+            if a[i] == b[j]:
+                return 1 + go(i + 1, j + 1)
+            return max(go(i + 1, j), go(i, j + 1))
+
+        out = go(0, 0)
+        go.cache_clear()
+        return out
+
+    scores = []
+    for i in sorted(hyps):
+        hyp = tuple(hyps[i][0])
+        p_best = r_best = 0.0
+        for ref in refs[i]:
+            m = lcs(hyp, tuple(ref))
+            if hyp:
+                p_best = max(p_best, m / len(hyp))
+            if ref:
+                r_best = max(r_best, m / len(ref))
+        f = ((1 + beta**2) * p_best * r_best / (r_best + beta**2 * p_best)
+             if p_best and r_best else 0.0)
+        scores.append(f)
+    return sum(scores) / len(scores)
+
+
+def test_rouge_matches_independent_reimplementation():
+    from fpn_mt_image_captioning_tpu.data.metrics import rouge_l
+
+    hyps, refs = make_corpus(n_images=30, seed=2)
+    ours = rouge_l(hyps, refs)
+    theirs = rouge_l_reference(hyps, refs)
+    assert ours == pytest.approx(theirs, rel=1e-12)
+    assert 0.0 < ours < 1.0
