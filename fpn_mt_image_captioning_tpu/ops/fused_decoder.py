@@ -238,40 +238,42 @@ def _decoder_kernel(
 
         q_scaled = (q.astype(f32) * scale).astype(dtype)
 
-        # The whole history side of self-attention is chunked over positions and
-        # each chunk runs only while it contains valid slots (chunk_start <=
-        # pos): the K/V HBM reads, the ancestry one-hot gather, the per-head
-        # logit matmul and the weight-expansion matmul all scale with the
-        # current position instead of Lpad — over a 60-token generation that
-        # halves both the history DMA traffic and the attention matmul FLOPs
-        # (the dominant per-step cost). Skipped chunks leave stale scratch;
-        # their logit rows are overwritten with -1e9 before the softmax, so
-        # stale data (even NaN bits in uninitialized VMEM) never contributes.
+        # The whole history side of self-attention scales with the current
+        # position instead of Lpad. K/V HBM reads land in ONE DMA per cache per
+        # tile, sized to the smallest power-of-two bucket covering the valid
+        # positions (per-8-slot-chunk DMAs serialize ~8× more DMA latency than
+        # they save in bytes — measured superlinear cost at late positions).
+        # The ancestry one-hot gather, per-head logit matmul and weight-
+        # expansion matmul stay gated per 8-slot chunk, so matmul FLOPs track
+        # the valid length exactly. Skipped chunks leave stale scratch; their
+        # logit rows are overwritten with -1e9 before the softmax, so stale
+        # data (even NaN bits in uninitialized VMEM) never contributes.
         chunk = 8
         n_chunks = lpad // chunk
         dn = (((2,), (1,)), ((0,), (0,)))
+        buckets, sz = [], chunk
+        while sz < lpad:
+            buckets.append(sz)
+            sz *= 2
+        buckets.append(lpad)
 
         for ti in range(n_tiles):
             r0 = ti * tile
             q_t = q_scaled[r0 : r0 + tile, :]
 
-            # pass 1 per valid chunk: DMA K/V history, ancestry-gather K
-            # (block-diagonal one-hot matmul — 8× the FLOPs of per-group GEMMs
-            # but M=tile instead of M=beam on the MXU and zero group reshapes),
-            # then per-head logits via head-segment matmul (q ⊙ k) @ S
-            for c in range(n_chunks):
-                c0 = c * chunk
+            for bi, sz in enumerate(buckets):
+                lo = 0 if bi == 0 else buckets[bi - 1]
 
-                @pl.when(c0 <= pos)
-                def _(c0=c0):
+                @pl.when((pos >= lo) & (pos < sz))
+                def _(sz=sz):
                     kc = pltpu.make_async_copy(
-                        k_self_out.at[layer, pl.ds(c0, chunk), pl.ds(r0, tile), :],
-                        k_tile_s.at[pl.ds(c0, chunk)],
+                        k_self_out.at[layer, pl.ds(0, sz), pl.ds(r0, tile), :],
+                        k_tile_s.at[pl.ds(0, sz)],
                         sem.at[2],
                     )
                     vc = pltpu.make_async_copy(
-                        v_self_out.at[layer, pl.ds(c0, chunk), pl.ds(r0, tile), :],
-                        v_tile_s.at[pl.ds(c0, chunk)],
+                        v_self_out.at[layer, pl.ds(0, sz), pl.ds(r0, tile), :],
+                        v_tile_s.at[pl.ds(0, sz)],
                         sem.at[3],
                     )
                     kc.start()
@@ -279,6 +281,15 @@ def _decoder_kernel(
                     kc.wait()
                     vc.wait()
 
+            # per valid chunk: ancestry-gather K (block-diagonal one-hot matmul
+            # — 8× the FLOPs of per-group GEMMs but M=tile instead of M=beam on
+            # the MXU and zero group reshapes), then per-head logits via
+            # head-segment matmul (q ⊙ k) @ S
+            for c in range(n_chunks):
+                c0 = c * chunk
+
+                @pl.when(c0 <= pos)
+                def _(c0=c0):
                     k_eff_c = jax.lax.dot_general(
                         oh_ref[ti, c0 : c0 + chunk], k_tile_s[c0 : c0 + chunk],
                         dn, preferred_element_type=f32,

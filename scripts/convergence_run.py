@@ -45,9 +45,13 @@ def main() -> None:
         model_kw = dict(d_model=32, num_layers=2, dff=64, num_heads=4)
         epochs, eval_every, batch_size, warmup = 4, 2, 8, 20
     else:
+        # LR sanity: the schedule peaks at dff^-0.5 * warmup^-0.5; the reference
+        # trains at ~3.5e-4 peak (dff 2048, warmup 4000). warmup=1000 with
+        # dff=1024 keeps this run on the ramp, reaching ~5e-4 by its ~650th
+        # step — warmup=100 (peak 3.1e-3) diverged to NaN at epoch 23.
         n_train, n_val, image_size = 200, 18, 256
         model_kw = dict(d_model=256, num_layers=3, dff=1024, num_heads=8)
-        epochs, eval_every, batch_size, warmup = 30, 5, 16, 100
+        epochs, eval_every, batch_size, warmup = 50, 5, 16, 1000
 
     datadir = os.path.join(ws, "data")
     make_synthetic_dataset(datadir, n_train=n_train, n_val=n_val,
@@ -70,6 +74,7 @@ def main() -> None:
         warm_up_steps=warmup,
         beam_search_n=4,
         buffer_size=max(n_train, 1),
+        dropout_rate=0.0,   # pure overfit demo — regularization off
         use_pallas=False,   # XLA decode path; kernel parity is tested separately
         **model_kw,
     )

@@ -27,12 +27,15 @@ def _write_png(path: str, size: int, seed: int, band: int | None = None) -> None
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
     if band is not None:
-        # class-distinctive bright horizontal band (for classful datasets)
+        # class-distinctive bright horizontal band over a dim noise floor —
+        # high contrast so a captioner can learn the image→caption mapping
+        arr = rng.integers(0, 60, (size, size), dtype=np.uint8)
         n = len(CAPTION_POOL)
         lo, hi = band * size // n, (band + 1) * size // n
-        arr[lo:hi] = 250
+        arr[lo:hi] = 255
+    else:
+        arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
     Image.fromarray(arr, mode="L").convert("RGB").save(path)
 
 
