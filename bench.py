@@ -60,7 +60,12 @@ def make_looped_caption(model, variables, beam, max_len, vocab, fused):
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
 
     def one_round(imgs):
-        enc = model.apply(variables, imgs, train=False, method=Transformer.encode)
+        if fused:
+            from fpn_mt_image_captioning_tpu.ops.fused_backbone import fused_encode
+
+            enc = fused_encode(model, variables, imgs)
+        else:
+            enc = model.apply(variables, imgs, train=False, method=Transformer.encode)
         seqs, lengths, _ = beam_search(
             model, variables, enc,
             beam_n=beam, max_len=max_len, start_token=1, end_token=vocab - 1,

@@ -98,5 +98,10 @@ class FeatureExtractor(nn.Module):
         each (B, h, w, d_model) with h = w = S/16, S/32, S/64, S/128, S/256."""
         x = images.astype(self.dtype)
         C3, C4, C5 = self.backbone(x, train=train)
-        pyramids = self.fpn(C3, C4, C5)
+        return self.from_taps(C3, C4, C5)
+
+    def from_taps(self, C3, C4, C5) -> list[jax.Array]:
+        """FPN + heads from precomputed backbone taps (fused-backbone path)."""
+        pyramids = self.fpn(C3.astype(self.dtype), C4.astype(self.dtype),
+                            C5.astype(self.dtype))
         return [self._per_level(p) for p in pyramids]

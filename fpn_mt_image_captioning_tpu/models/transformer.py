@@ -166,6 +166,15 @@ class Encoder(nn.Module):
 
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
         views = self.feature_extractor(images, train=train)
+        return self.encode_views(views, train=train)
+
+    def from_taps(self, c3, c4, c5, train: bool = False) -> jax.Array:
+        """Encode from precomputed backbone taps (the fused-backbone serving
+        path computes C3/C4/C5 outside flax — ops/fused_backbone.py)."""
+        views = self.feature_extractor.from_taps(c3, c4, c5)
+        return self.encode_views(views, train=train)
+
+    def encode_views(self, views: list[jax.Array], train: bool = False) -> jax.Array:
         views = [views[i] for i in self.x_order]
 
         embedded: list[jax.Array] = []
@@ -414,6 +423,11 @@ class Transformer(nn.Module):
     # -- decode-path methods ----------------------------------------------------
     def encode(self, images: jax.Array, train: bool = False) -> jax.Array:
         return self.encoder(images, train=train)
+
+    def encode_from_taps(self, c3, c4, c5, train: bool = False) -> jax.Array:
+        """Encode from fused-backbone taps (serving path — the MobileNetV2
+        stack runs as Pallas kernels outside flax; see ops/fused_backbone.py)."""
+        return self.encoder.from_taps(c3, c4, c5, train=train)
 
     def init_cache(self, enc_output: jax.Array, max_len: int):
         return self.decoder.init_cache(enc_output, max_len)

@@ -387,3 +387,23 @@ def fused_mobilenet_backbone(
     c5 = jnp.dot(x5, packed["head_k"], preferred_element_type=jnp.float32)
     c5 = jnp.clip(c5 + packed["head_b"], 0.0, 6.0).astype(dtype)
     return taps["C3"], taps["C4"], c5
+
+
+def supports_fused_backbone(backbone_name: str) -> bool:
+    return backbone_name.startswith("mobilenet")
+
+
+def fused_encode(model, variables: Any, images: jax.Array, *, interpret: bool = False):
+    """Serving encode with the backbone as fused Pallas blocks: pack+fold the
+    MobileNetV2 weights (cheap; traced once under jit), run the fused backbone,
+    then FPN/heads/UMV encoder through the regular flax apply
+    (``Transformer.encode_from_taps``)."""
+    fe_params = variables["params"]["encoder"]["feature_extractor"]
+    fe_stats = variables["batch_stats"]["encoder"]["feature_extractor"]
+    packed = pack_backbone_weights(
+        fe_params["backbone"], fe_stats["backbone"], dtype=model.dtype
+    )
+    c3, c4, c5 = fused_mobilenet_backbone(packed, images, interpret=interpret)
+    return model.apply(
+        variables, c3, c4, c5, train=False, method=type(model).encode_from_taps
+    )

@@ -230,6 +230,17 @@ class Pipeline:
 
             return make_sharded_decode_encode(self.mesh, model)
 
+        cfg = self.config
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.fused_backbone import fused_encode, supports_fused_backbone
+
+            if supports_fused_backbone(cfg.backbone):
+                @jax.jit
+                def encode_fused(variables, images):
+                    return fused_encode(model, variables, images)
+
+                return encode_fused
+
         @jax.jit
         def encode(variables, images):
             return model.apply(variables, images, train=False, method=Transformer.encode)

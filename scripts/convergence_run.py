@@ -98,7 +98,11 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
-    out_dir = os.path.join(REPO, "benchmarks", "convergence")
+    # --tiny is a smoke test: report, but don't overwrite committed evidence
+    out_dir = (
+        os.path.join(REPO, "benchmarks", "convergence") if not tiny
+        else os.path.join(ws, "artifact")
+    )
     os.makedirs(out_dir, exist_ok=True)
     curve_path = os.path.join(out_dir, f"curve_{backend}.jsonl")
     with open(curve_path, "w") as f:

@@ -45,6 +45,27 @@ def test_bordered_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(unpad_bordered(padded, 8, 8)), np.asarray(x))
 
 
+def test_fused_encode_matches_flax_encode(rng):
+    """Full serving encode (fused backbone -> encode_from_taps) vs the plain
+    flax Transformer.encode at float32."""
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.ops.fused_backbone import fused_encode
+
+    model = Transformer(
+        num_layers=2, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=(64 // 16) ** 2, target_vocab_size=40, max_seq_len=8,
+    )
+    images = jax.random.normal(rng, (2, 64, 64, 3)) * 0.5
+    tar = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, images, tar, True, create_masks(tar)
+    )
+    ref = model.apply(variables, images, train=False, method=Transformer.encode)
+    out = fused_encode(model, variables, images, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3)
+
+
 def test_fused_backbone_matches_flax(setup):
     model, variables, images = setup
     c3_ref, c4_ref, c5_ref = model.apply(variables, images, train=False)
