@@ -230,6 +230,10 @@ class Pipeline:
 
             return make_sharded_decode_encode(self.mesh, model)
 
+        @jax.jit
+        def encode(variables, images):
+            return model.apply(variables, images, train=False, method=Transformer.encode)
+
         cfg = self.config
         if cfg.use_pallas and jax.default_backend() == "tpu":
             from ..ops.fused_backbone import fused_encode, supports_fused_backbone
@@ -239,11 +243,18 @@ class Pipeline:
                 def encode_fused(variables, images):
                     return fused_encode(model, variables, images)
 
-                return encode_fused
+                state = {"fn": encode_fused}
 
-        @jax.jit
-        def encode(variables, images):
-            return model.apply(variables, images, train=False, method=Transformer.encode)
+                def encode_with_fallback(variables, images):
+                    try:
+                        return state["fn"](variables, images)
+                    except Exception:  # Mosaic lowering regression -> XLA path
+                        if state["fn"] is encode:
+                            raise
+                        state["fn"] = encode
+                        return encode(variables, images)
+
+                return encode_with_fallback
 
         return encode
 
@@ -262,10 +273,13 @@ class Pipeline:
             images, pad = self._pad_batch(np.asarray(images))
         enc = self._encode(self.variables, jnp.asarray(images))
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
-        # reference's degenerate tie-breaking reproduced bit-exactly in f32)
+        # reference's degenerate tie-breaking reproduced bit-exactly in f32;
+        # and under a mesh, where the sharded-beam-search path owns decode —
+        # GSPMD can't partition the hand-written kernel)
         fused = (
             cfg.use_pallas
             and not cfg.beam_parity_mode
+            and self.mesh is None
             and jax.default_backend() == "tpu"
         )
         seqs, lengths, _scores = beam_search(
