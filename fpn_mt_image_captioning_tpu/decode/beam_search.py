@@ -142,17 +142,24 @@ def beam_search(
         t, tokens, scores, cache, src, seqs, finished = carry
         if fused:
             # embedding + PE in XLA; everything else (6 layers + final vocab
-            # projection + log-softmax + freeze + score add) in ONE kernel
+            # projection + log-softmax + freeze + score add + per-row top-k)
+            # in ONE kernel — the XLA side then sorts only (B, K²) candidates
             pe_row = jax.lax.dynamic_slice_in_dim(pe_table, t, 1, axis=0)
             x_emb = jnp.take(emb_table, tokens, axis=0) + pe_row
-            total_rows, cache = fused_decode_step(
+            top_s, top_i, cache = fused_decode_step(
                 packed, cache, x_emb, src, t,
                 scores.reshape(bk, 1), finished.reshape(bk, 1).astype(jnp.float32),
                 num_layers=model.num_layers, beam=beam_n,
-                num_heads=model.num_heads,
+                num_heads=model.num_heads, topk=beam_n,
             )
-            vocab = total_rows.shape[-1]  # lane-padded; pad cols carry -1e9 bias
-            flat = total_rows.reshape(batch, beam_n * vocab)
+            cand_s = top_s[:, :beam_n].reshape(batch, beam_n * beam_n)
+            cand_i = top_i[:, :beam_n].reshape(batch, beam_n * beam_n)
+            # candidate order (beam-major, then descending score / ascending
+            # vocab id) makes this top_k tie-break identically to the full
+            # (B, K·V) top_k of the XLA path
+            new_scores, sel = jax.lax.top_k(cand_s, beam_n)
+            beam_idx = sel // beam_n                               # (B, K)
+            new_tokens = jnp.take_along_axis(cand_i, sel, axis=1).astype(jnp.int32)
         else:
             logits, cache = model.apply(
                 variables, tokens, t, cache, src, method=Transformer.decode_step
@@ -169,9 +176,9 @@ def beam_search(
             total = scores[..., None] + log_probs                  # (B, K, V)
             flat = total.reshape(batch, beam_n * vocab)
 
-        new_scores, flat_idx = jax.lax.top_k(flat, beam_n)         # ties → lowest index
-        beam_idx = flat_idx // vocab                               # (B, K)
-        new_tokens = (flat_idx % vocab).astype(jnp.int32)          # (B, K)
+            new_scores, flat_idx = jax.lax.top_k(flat, beam_n)     # ties → lowest index
+            beam_idx = flat_idx // vocab                           # (B, K)
+            new_tokens = (flat_idx % vocab).astype(jnp.int32)      # (B, K)
 
         # lazy reorder: remap ancestry rows instead of gathering the caches
         flat_parent = (

@@ -157,7 +157,8 @@ def _decoder_kernel(
     k_self_hbm,              # (N, Lpad, BK, d) ANY/HBM — aliased with output
     v_self_hbm,
     # outputs
-    total_ref,               # (BK, Vp) f32 — scores + frozen log-probs
+    tops_ref,                # (BK, 128) f32 — top-k scores+log-probs (cols 0..topk-1)
+    topi_ref,                # (BK, 128) int32 — matching vocab ids
     k_self_out,              # aliased full-array ANY ref
     v_self_out,
     # scratch
@@ -174,6 +175,7 @@ def _decoder_kernel(
     beam: int,
     num_heads: int,
     tile: int,
+    topk: int,
 ):
     layer = pl.program_id(0)
     bk, d = x_s.shape
@@ -383,8 +385,10 @@ def _decoder_kernel(
 
     @pl.when(layer == num_layers)
     def _final_cell():
-        # vocabulary projection + log-softmax + beam freeze + score add,
-        # all folded into the last grid step (saves ~8 XLA ops per token)
+        # vocabulary projection + log-softmax + beam freeze + score add + the
+        # per-row top-k extraction, all folded into the last grid step: the XLA
+        # loop then runs top_k over (B, beam²) instead of (B, beam·V) — the
+        # measured ~0.3 ms/step of loop bookkeeping was dominated by that sort
         xf = x_s[:]
         logits = jnp.dot(xf, wf_ref[:], preferred_element_type=f32) + bf_ref[0]
         m = jnp.max(logits, axis=-1, keepdims=True)
@@ -395,14 +399,30 @@ def _decoder_kernel(
         pad_row = jnp.where(col == 0, 0.0, -1e9)
         fin = fin_ref[:]
         lp = fin * pad_row + (1.0 - fin) * lp
-        total_ref[:] = lp + scores_ref[:]
+        total = lp + scores_ref[:]
+
+        # iterative max-extract: top `topk` (score, vocab-id) pairs per row,
+        # ties resolved to the lowest vocab id (matches lax.top_k ordering)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bk, 128), 1)
+        out_s = jnp.full((bk, 128), -jnp.inf, f32)
+        out_i = jnp.zeros((bk, 128), jnp.int32)
+        for j in range(topk):
+            mj = jnp.max(total, axis=-1, keepdims=True)           # (BK, 1)
+            idx = jnp.min(
+                jnp.where(total == mj, col, vp), axis=-1, keepdims=True
+            )                                                      # (BK, 1)
+            out_s = jnp.where(lane == j, mj, out_s)
+            out_i = jnp.where(lane == j, idx, out_i)
+            total = jnp.where(col == idx, -1e30, total)
+        tops_ref[:] = out_s
+        topi_ref[:] = out_i
 
 
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_layers", "beam", "num_heads", "tile", "interpret"),
+    static_argnames=("num_layers", "beam", "num_heads", "tile", "topk", "interpret"),
 )
 def fused_decode_step(
     packed: dict,
@@ -417,12 +437,15 @@ def fused_decode_step(
     beam: int,
     num_heads: int,
     tile: int = 128,
+    topk: int | None = None,
     interpret: bool = False,
 ):
     """All decoder layers + final vocab projection + log-softmax + beam freeze
-    for one position, in one kernel (grid = num_layers + 1). Returns
-    (total (BK, Vp) f32 = scores + frozen log-probs, new_cache); self caches are
-    updated in place via buffer aliasing."""
+    + per-row top-k for one position, in one kernel (grid = num_layers + 1).
+    Returns ``(top_scores (BK, 128) f32, top_ids (BK, 128) int32, new_cache)``
+    — columns 0..topk-1 hold the row's best (scores+log-prob, vocab id) pairs
+    in lax.top_k order (descending, ties to the lowest id); self caches are
+    updated in place via buffer aliasing. ``topk`` defaults to ``beam``."""
     bk, d = x_emb.shape
     n = num_layers
     lpad = cache["k_self"].shape[1]
@@ -482,7 +505,8 @@ def fused_decode_step(
             pl.BlockSpec(memory_space=pltpu.ANY),               # v_self (full)
         ],
         out_specs=[
-            pl.BlockSpec((bk, vp), lambda l, *_: (0, 0)),
+            pl.BlockSpec((bk, 128), lambda l, *_: (0, 0)),
+            pl.BlockSpec((bk, 128), lambda l, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -498,21 +522,24 @@ def fused_decode_step(
         ],
     )
 
+    if topk is None:
+        topk = beam
     kernel = functools.partial(
         _decoder_kernel,
-        num_layers=n, beam=beam, num_heads=num_heads, tile=tile,
+        num_layers=n, beam=beam, num_heads=num_heads, tile=tile, topk=topk,
     )
 
-    total, k_new, v_new = pl.pallas_call(
+    top_s, top_i, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bk, vp), jnp.float32),
+            jax.ShapeDtypeStruct((bk, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bk, 128), jnp.int32),
             jax.ShapeDtypeStruct(cache["k_self"].shape, dtype),
             jax.ShapeDtypeStruct(cache["v_self"].shape, dtype),
         ],
         # alias self caches: input operand index (incl. scalar prefetch) → output
-        input_output_aliases={21: 1, 22: 2},
+        input_output_aliases={21: 2, 22: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -530,4 +557,4 @@ def fused_decode_step(
         cache["k_self"], cache["v_self"],
     )
     new_cache = {"k_self": k_new, "v_self": v_new, "kv_cross": cache["kv_cross"]}
-    return total, new_cache
+    return top_s, top_i, new_cache

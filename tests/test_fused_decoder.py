@@ -60,18 +60,23 @@ def test_fused_matches_xla_decode(setup, rng):
         )
         # fused step (zero scores / nothing finished → total == log-softmax)
         x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
-        total, fused_cache = fused_decode_step(
+        topk = 5
+        top_s, top_i, fused_cache = fused_decode_step(
             packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
             jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
-            num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
+            num_layers=NL, beam=BEAM, num_heads=H, topk=topk, interpret=True,
         )
         expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
+        exp_s, exp_i = jax.lax.top_k(jnp.asarray(expected), topk)
         np.testing.assert_allclose(
-            np.asarray(total[:, :VOCAB]), expected, atol=3e-4,
+            np.asarray(top_s[:, :topk]), np.asarray(exp_s), atol=3e-4,
             err_msg=f"step {t}",
         )
+        np.testing.assert_array_equal(
+            np.asarray(top_i[:, :topk]), np.asarray(exp_i), err_msg=f"step {t}"
+        )
         # lane-padded vocab columns must never win top-k
-        assert np.all(np.asarray(total[:, VOCAB:]) < -1e8)
+        assert np.all(np.asarray(top_i[:, :topk]) < VOCAB)
 
         if t == 2:
             # simulate a beam reorder: beam 1 adopts beam 0's ancestry
@@ -118,14 +123,18 @@ def test_fused_matches_xla_multichunk(rng):
             method=Transformer.decode_step,
         )
         x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
-        total, fused_cache = fused_decode_step(
+        top_s, top_i, fused_cache = fused_decode_step(
             packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
             jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
-            num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
+            num_layers=NL, beam=BEAM, num_heads=H, topk=4, interpret=True,
         )
         expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
+        exp_s, exp_i = jax.lax.top_k(jnp.asarray(expected), 4)
         np.testing.assert_allclose(
-            np.asarray(total[:, :VOCAB]), expected, atol=3e-4, err_msg=f"step {t}"
+            np.asarray(top_s[:, :4]), np.asarray(exp_s), atol=3e-4, err_msg=f"step {t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(top_i[:, :4]), np.asarray(exp_i), err_msg=f"step {t}"
         )
         if t in (5, 9, 13):  # reorders landing in different chunks
             parent = jnp.asarray(np.resize([1, 0], BEAM), jnp.int32)
@@ -144,7 +153,7 @@ def test_fused_cache_positions_written(setup, rng):
 
     x_emb = jax.random.normal(rng, (BK, D))
     src_local = jnp.zeros((lpad, BK), jnp.int32)
-    _total, fused_cache = fused_decode_step(
+    _s, _i, fused_cache = fused_decode_step(
         packed, fused_cache, x_emb, src_local, jnp.int32(0),
         jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
         num_layers=NL, beam=BEAM, num_heads=H, interpret=True,
