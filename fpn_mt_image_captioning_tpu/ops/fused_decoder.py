@@ -13,7 +13,9 @@ stack inside a single ``pallas_call`` with ``grid=(num_layers,)``:
     computes;
   * self-attention K/V caches stay in HBM, position-major ``(N, L, BK, d)`` so
     the one new row per step is a single contiguous (BK, d) DMA write; history
-    is DMA'd tile-by-tile (64 rows) into VMEM scratch;
+    (positions < pos only — the current position's terms come straight from
+    the in-register projections) is DMA'd per row-tile into double-buffered
+    VMEM scratch, prefetching tile ti+1 while tile ti computes;
   * beam ancestry ("which physical row holds position p's K/V for this beam")
     is resolved by a one-hot matmul over the beam group — the TPU-idiomatic
     gather (``k_eff = onehot @ k_group`` batched over (L, group)) — so beam
@@ -164,12 +166,13 @@ def _decoder_kernel(
     # scratch
     x_s,                     # (BK, d)
     row_s,                   # (2, BK, d) — new K/V rows staged for DMA
-    k_tile_s,                # (Lpad, TILE, d)
-    v_tile_s,                # (Lpad, TILE, d)
+    k_tile_s,                # (2, Lpad, TILE, d) — double-buffered history staging
+    v_tile_s,                # (2, Lpad, TILE, d)
     ctx_s,                   # (BK, d)
     lg_s,                    # (Lpad, TILE, 128) f32 — per-head logits staging
     ctx_acc_s,               # (TILE, d) f32 — chunked context accumulator
-    sem,                     # DMA semaphores (4,)
+    sem,                     # DMA semaphores (6,): 0,1 row writes;
+                             # 2,3 K-history per buffer; 4,5 V-history per buffer
     *,
     num_layers: int,
     beam: int,
@@ -179,7 +182,7 @@ def _decoder_kernel(
 ):
     layer = pl.program_id(0)
     bk, d = x_s.shape
-    lpad = k_tile_s.shape[0]
+    lpad = k_tile_s.shape[1]
     h = num_heads
     dh = d // h
     pos = pos_ref[0]
@@ -215,14 +218,12 @@ def _decoder_kernel(
         )
         kw.start()
         vw.start()
+        # the row write must land before any history DMA whose bucket overlaps
+        # row ``pos`` starts (a torn concurrent read could yield NaN bit
+        # patterns, and 0·NaN = NaN in the context pass). ~1 µs for 1 MB.
         kw.wait()
         vw.wait()
 
-        # slot-validity mask over cache positions
-        pos_idx = jax.lax.broadcasted_iota(jnp.int32, (lpad, 1), 0)
-        invalid = pos_idx > pos  # (Lpad, 1) bool
-
-        g = tile // beam       # beam groups per tile
         n_tiles = bk // tile
 
         # Head-segment indicator matrices (the Mosaic-safe way to do per-head
@@ -240,16 +241,24 @@ def _decoder_kernel(
 
         q_scaled = (q.astype(f32) * scale).astype(dtype)
 
-        # The whole history side of self-attention scales with the current
-        # position instead of Lpad. K/V HBM reads land in ONE DMA per cache per
-        # tile, sized to the smallest power-of-two bucket covering the valid
-        # positions (per-8-slot-chunk DMAs serialize ~8× more DMA latency than
-        # they save in bytes — measured superlinear cost at late positions).
+        # History = positions 0..pos-1 ONLY: the current position's K/V never
+        # round-trips HBM — its logit/context terms are computed straight from
+        # the staged rows (``row_s``), exploiting the beam-search invariant that
+        # ancestry at the current position is always the row's own beam
+        # (decode/beam_search.py sets src[t] = own before step t runs).
+        # K/V HBM reads land in ONE DMA per cache per tile, sized to the
+        # smallest power-of-two bucket covering the history (per-8-slot-chunk
+        # DMAs serialize ~8× more DMA latency than they save in bytes), and are
+        # DOUBLE-BUFFERED across row tiles: tile ti+1's history streams in
+        # while tile ti computes, and the V wait is deferred past the logit
+        # pass, so most DMA latency hides behind the attention matmuls.
         # The ancestry one-hot gather, per-head logit matmul and weight-
         # expansion matmul stay gated per 8-slot chunk, so matmul FLOPs track
-        # the valid length exactly. Skipped chunks leave stale scratch; their
-        # logit rows are overwritten with -1e9 before the softmax, so stale
-        # data (even NaN bits in uninitialized VMEM) never contributes.
+        # the history length exactly. Skipped chunks leave stale scratch; their
+        # logit rows are overwritten with -1e9 (and the current row with the
+        # in-register self term) before the softmax, and every V row a gated
+        # chunk touches is real DMA'd bytes (finite), so stale data never
+        # contributes.
         chunk = 8
         n_chunks = lpad // chunk
         dn = (((2,), (1,)), ((0,), (0,)))
@@ -259,41 +268,57 @@ def _decoder_kernel(
             sz *= 2
         buckets.append(lpad)
 
+        def hist_copy(which, ti, buf, sz):
+            src = k_self_out if which == 0 else v_self_out
+            dst = k_tile_s if which == 0 else v_tile_s
+            return pltpu.make_async_copy(
+                src.at[layer, pl.ds(0, sz), pl.ds(ti * tile, tile), :],
+                dst.at[buf, pl.ds(0, sz)],
+                sem.at[2 + 2 * which + buf],
+            )
+
+        def for_bucket(fn):
+            """Run fn(sz) under the bucket predicate covering pos history rows
+            (exactly one fires when pos > 0; none at pos == 0)."""
+            for bi, sz in enumerate(buckets):
+                lo = 0 if bi == 0 else buckets[bi - 1]
+                cond = (pos > lo) if sz == lpad else (pos > lo) & (pos <= sz)
+
+                @pl.when(cond)
+                def _(sz=sz):
+                    fn(sz)
+
+        def start_hist(which, ti, buf):
+            for_bucket(lambda sz: hist_copy(which, ti, buf, sz).start())
+
+        def wait_hist(which, ti, buf):
+            for_bucket(lambda sz: hist_copy(which, ti, buf, sz).wait())
+
+        start_hist(0, 0, 0)
+        start_hist(1, 0, 0)
+
         for ti in range(n_tiles):
+            buf = ti % 2
             r0 = ti * tile
             q_t = q_scaled[r0 : r0 + tile, :]
 
-            for bi, sz in enumerate(buckets):
-                lo = 0 if bi == 0 else buckets[bi - 1]
+            if ti + 1 < n_tiles:
+                start_hist(0, ti + 1, (ti + 1) % 2)
+                start_hist(1, ti + 1, (ti + 1) % 2)
+            wait_hist(0, ti, buf)
 
-                @pl.when((pos >= lo) & (pos < sz))
-                def _(sz=sz):
-                    kc = pltpu.make_async_copy(
-                        k_self_out.at[layer, pl.ds(0, sz), pl.ds(r0, tile), :],
-                        k_tile_s.at[pl.ds(0, sz)],
-                        sem.at[2],
-                    )
-                    vc = pltpu.make_async_copy(
-                        v_self_out.at[layer, pl.ds(0, sz), pl.ds(r0, tile), :],
-                        v_tile_s.at[pl.ds(0, sz)],
-                        sem.at[3],
-                    )
-                    kc.start()
-                    vc.start()
-                    kc.wait()
-                    vc.wait()
-
-            # per valid chunk: ancestry-gather K (block-diagonal one-hot matmul
-            # — 8× the FLOPs of per-group GEMMs but M=tile instead of M=beam on
-            # the MXU and zero group reshapes), then per-head logits via
-            # head-segment matmul (q ⊙ k) @ S
+            # per history chunk: ancestry-gather K (block-diagonal one-hot
+            # matmul — 8× the FLOPs of per-group GEMMs but M=tile instead of
+            # M=beam on the MXU and zero group reshapes), then per-head logits
+            # via head-segment matmul (q ⊙ k) @ S
             for c in range(n_chunks):
                 c0 = c * chunk
 
-                @pl.when(c0 <= pos)
+                @pl.when(c0 < pos)
                 def _(c0=c0):
                     k_eff_c = jax.lax.dot_general(
-                        oh_ref[ti, c0 : c0 + chunk], k_tile_s[c0 : c0 + chunk],
+                        oh_ref[ti, c0 : c0 + chunk],
+                        k_tile_s[buf, c0 : c0 + chunk],
                         dn, preferred_element_type=f32,
                     ).astype(dtype)                               # (chunk, T, d)
                     prod_c = jnp.broadcast_to(q_t[None], (chunk, tile, d)) * k_eff_c
@@ -302,33 +327,47 @@ def _decoder_kernel(
                         preferred_element_type=f32,
                     ).reshape(chunk, tile, hp)
 
+            # current position's logits from the staged rows (identity ancestry)
+            self_lg = jnp.dot(
+                q_t * row_s[0, r0 : r0 + tile, :], S, preferred_element_type=f32
+            )                                                     # (T, hp)
+
             lg = lg_s[:]
-            inv3 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0) > pos
-            lg = jnp.where(inv3, -1e9, lg)
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0)
+            lg = jnp.where(
+                iota0 == pos, self_lg[None], jnp.where(iota0 > pos, -1e9, lg)
+            )
             m = jnp.max(lg, axis=0, keepdims=True)
             e = jnp.exp(lg - m)
             w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, T, 128) f32
+            w_self = jnp.sum(jnp.where(iota0 == pos, w, 0.0), axis=0)  # (T, hp)
+            w_hist = jnp.where(iota0 == pos, 0.0, w)
 
-            # pass 2 per valid chunk: expand per-head weights back over lanes
+            # current position's context from the staged V rows
+            w_self_d = jnp.dot(
+                w_self.astype(dtype), ST, preferred_element_type=f32
+            )                                                     # (T, d)
+            ctx_acc_s[:] = w_self_d * row_s[1, r0 : r0 + tile, :].astype(f32)
+
+            wait_hist(1, ti, buf)
+
+            # pass 2 per history chunk: expand per-head weights back over lanes
             # (@ Sᵀ), ancestry-gather V, accumulate the context contraction
             for c in range(n_chunks):
                 c0 = c * chunk
 
-                @pl.when(c0 <= pos)
-                def _(c0=c0, first=(c == 0)):
+                @pl.when(c0 < pos)
+                def _(c0=c0):
                     w_d_c = jnp.dot(
-                        w[c0 : c0 + chunk].reshape(chunk * tile, hp).astype(dtype),
+                        w_hist[c0 : c0 + chunk].reshape(chunk * tile, hp).astype(dtype),
                         ST, preferred_element_type=f32,
                     ).reshape(chunk, tile, d)
                     v_eff_c = jax.lax.dot_general(
-                        oh_ref[ti, c0 : c0 + chunk], v_tile_s[c0 : c0 + chunk],
+                        oh_ref[ti, c0 : c0 + chunk],
+                        v_tile_s[buf, c0 : c0 + chunk],
                         dn, preferred_element_type=f32,
                     )
-                    contrib = (w_d_c * v_eff_c).sum(0)            # (T, d) f32
-                    if first:  # chunk 0 is always valid — initializes the acc
-                        ctx_acc_s[:] = contrib
-                    else:
-                        ctx_acc_s[:] = ctx_acc_s[:] + contrib
+                    ctx_acc_s[:] = ctx_acc_s[:] + (w_d_c * v_eff_c).sum(0)
 
             ctx_s[r0 : r0 + tile, :] = ctx_acc_s[:].astype(dtype)
 
@@ -445,7 +484,12 @@ def fused_decode_step(
     Returns ``(top_scores (BK, 128) f32, top_ids (BK, 128) int32, new_cache)``
     — columns 0..topk-1 hold the row's best (scores+log-prob, vocab id) pairs
     in lax.top_k order (descending, ties to the lowest id); self caches are
-    updated in place via buffer aliasing. ``topk`` defaults to ``beam``."""
+    updated in place via buffer aliasing. ``topk`` defaults to ``beam``.
+
+    Contract: ``src_t[pos]`` must be each row's OWN beam index (identity
+    ancestry at the current position) — ``beam_search`` guarantees this by
+    construction; the kernel exploits it to source the current position's
+    K/V from registers instead of reading the cache row back from HBM."""
     bk, d = x_emb.shape
     n = num_layers
     lpad = cache["k_self"].shape[1]
@@ -513,12 +557,12 @@ def fused_decode_step(
         scratch_shapes=[
             pltpu.VMEM((bk, d), dtype),
             pltpu.VMEM((2, bk, d), dtype),
-            pltpu.VMEM((lpad, tile, d), dtype),
-            pltpu.VMEM((lpad, tile, d), dtype),
+            pltpu.VMEM((2, lpad, tile, d), dtype),
+            pltpu.VMEM((2, lpad, tile, d), dtype),
             pltpu.VMEM((bk, d), dtype),
             pltpu.VMEM((lpad, tile, 128), jnp.float32),
             pltpu.VMEM((tile, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
 

@@ -87,11 +87,11 @@ def main():
         def f(n, x0, cache0, packed):
             def body(_, carry):
                 x, cache, acc = carry
-                total, cache = fused_decode_step(
+                top_s, top_i, cache = fused_decode_step(
                     packed, cache, x, srcT, jnp.int32(pos), scores0, fin0,
                     num_layers=NL, beam=BEAM, num_heads=H,
                 )
-                s = total.sum()
+                s = top_s[:, :BEAM].sum() + top_i[:, :BEAM].sum().astype(jnp.float32)
                 return x + (s * 1e-30).astype(x.dtype), cache, acc + s
 
             _, _, acc = jax.lax.fori_loop(0, n, body, (x0, cache0, jnp.float32(0)))

@@ -84,9 +84,12 @@ def test_fused_matches_xla_decode(setup, rng):
             group_base = (jnp.arange(BK) // BEAM) * BEAM
             flat_parent = group_base + parent
             src_flat = jnp.take(src_flat, flat_parent, axis=0)
-            src_flat = src_flat.at[:, t + 1].set(own)
             src_local = jnp.take(src_local, flat_parent, axis=0)
-            src_local = src_local.at[:, t + 1].set(own % BEAM)
+        # beam_search resets the NEXT position's ancestry to identity on EVERY
+        # step (decode/beam_search.py body) — the kernel's self-term contract
+        # relies on it, so the harness must maintain the same invariant
+        src_flat = src_flat.at[:, t + 1].set(own)
+        src_local = src_local.at[:, t + 1].set(own % BEAM)
 
 
 def test_fused_matches_xla_multichunk(rng):
@@ -139,8 +142,11 @@ def test_fused_matches_xla_multichunk(rng):
         if t in (5, 9, 13):  # reorders landing in different chunks
             parent = jnp.asarray(np.resize([1, 0], BEAM), jnp.int32)
             flat_parent = (jnp.arange(BK) // BEAM) * BEAM + jnp.tile(parent, B)
-            src_flat = jnp.take(src_flat, flat_parent, axis=0).at[:, t + 1].set(own)
-            src_local = jnp.take(src_local, flat_parent, axis=0).at[:, t + 1].set(own % BEAM)
+            src_flat = jnp.take(src_flat, flat_parent, axis=0)
+            src_local = jnp.take(src_local, flat_parent, axis=0)
+        if t + 1 < lpad:  # identity-at-current-position invariant (see above)
+            src_flat = src_flat.at[:, t + 1].set(own)
+            src_local = src_local.at[:, t + 1].set(own % BEAM)
 
 
 def test_fused_cache_positions_written(setup, rng):
