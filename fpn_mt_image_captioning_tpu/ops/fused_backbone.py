@@ -9,12 +9,18 @@ runs each block — expand 1×1 → relu6 → depthwise 3×3 → relu6 → proje
 the conv weights (inference semantics), so HBM sees only each block's input and
 output.
 
-Layout contract between blocks: activations live as ``(B, H+2, Wp, C)`` bf16
-with one zero border row/column on every side and ``Wp = round_up(W+2, 16)``
-(trailing columns also zero). Zero borders give the 3×3 depthwise its SAME
-padding for free via statically-shifted flat slices; a mask keeps the borders
-zero through the pointwise convs (whose folded BN bias would otherwise leak
-into them).
+Layout contract between blocks: activations live as ``(B, H+2, Wp, Cp)`` bf16
+with one zero border row/column on every side, ``Wp = round_up(W+2, 16)``
+(trailing columns also zero) and ``Cp = round_up(C, 128)`` (pad channels zero).
+Zero borders give the 3×3 depthwise its SAME padding for free via statically-
+shifted flat slices; a mask keeps the borders zero through the pointwise convs
+(whose folded BN bias would otherwise leak into them). The 128-lane channel
+padding is REQUIRED by Mosaic: manual DMA slices of HBM refs fail to lower
+unless the minor dim is tiling-aligned ("Slice shape along dimension 3 must be
+aligned to tiling (128)") — and it is free in HBM terms, because XLA's TPU
+layout already tile-pads the minor dim of every (…, C<128) array to 128 lanes.
+Pad channels stay exactly zero end-to-end: packed weights carry zero pad
+rows/columns, so no garbage can propagate into real channels.
 
 Per grid cell (one image × one row-tile): the input row-tile + 1-row halo is
 DMA'd to VMEM, the whole block computes in VMEM/registers, and the output tile
@@ -73,33 +79,51 @@ def pack_backbone_weights(
 ) -> dict:
     """Walk the Flax MobileNetV2 tree -> folded stem/head convs + per-block
     packed kernels. Matmul weights are 2D ``(Cin, Cout)``; depthwise weights
-    are ``(16, C)`` float32 (9 taps row-major ``dy*3+dx``, rows 9..15 zero)."""
+    are ``(16, C)`` float32 (9 taps row-major ``dy*3+dx``, rows 9..15 zero).
+    Channel dims that cross the block's HBM boundary (Cin rows of the expand
+    matmul, Cout columns of the project matmul) are zero-padded to the
+    128-lane bordered-layout contract; for expansion-1 blocks the depthwise
+    channel dim IS the HBM channel dim, so it is padded too."""
+
+    def pad_rows(a, m):
+        return jnp.zeros((m, a.shape[1]), a.dtype).at[: a.shape[0]].set(a)
+
+    def pad_cols(a, m):
+        return jnp.zeros((a.shape[0], m), a.dtype).at[:, : a.shape[1]].set(a)
+
     blocks = []
     for gi, (t, c, n, s) in enumerate(_BLOCK_CONFIG):
         for bi in range(n):
             name = f"block_{gi}_{bi}"
             p, st = params[name], batch_stats[name]
-            blk: dict[str, Any] = {"stride": s if bi == 0 else 1, "expansion": t}
-            if t != 1:
-                we, be = _fold(p["expand"], st["expand"])
-                blk["w_exp"] = we[0, 0].astype(dtype)          # (Cin, Cexp)
-                blk["b_exp"] = be[None, :]                      # (1, Cexp) f32
+            blk: dict[str, Any] = {}
             wd, bd = _fold(p["depthwise"], st["depthwise"])
             cexp = wd.shape[-1]
-            wd9 = wd[:, :, 0, :].reshape(9, cexp)
-            blk["w_dw"] = jnp.zeros((16, cexp), jnp.float32).at[:9].set(wd9)
-            blk["b_dw"] = bd[None, :]
             wp_, bp_ = _fold(p["project"], st["project"])
-            blk["w_proj"] = wp_[0, 0].astype(dtype)             # (Cexp, Cout)
-            blk["b_proj"] = bp_[None, :]
-            cin = blk["w_exp"].shape[0] if t != 1 else cexp
-            # python metadata lives beside the arrays; fused_ir_block takes it
-            # as static kwargs (jit would trace dict leaves otherwise)
-            stride = blk.pop("stride")
-            blk.pop("expansion")
+            cout = wp_.shape[-1]
+            if t != 1:
+                we, be = _fold(p["expand"], st["expand"])
+                cin = we.shape[2]
+                cin_p = _round_up(cin, 128)
+                blk["w_exp"] = pad_rows(we[0, 0].astype(dtype), cin_p)  # (Cin_p, Cexp)
+                blk["b_exp"] = be[None, :]                              # (1, Cexp) f32
+                dw_p = cexp
+            else:
+                cin = cexp
+                cin_p = _round_up(cin, 128)
+                dw_p = cin_p  # depthwise channels live on the HBM boundary
+            wd9 = wd[:, :, 0, :].reshape(9, cexp)
+            blk["w_dw"] = jnp.zeros((16, dw_p), jnp.float32).at[:9, :cexp].set(wd9)
+            blk["b_dw"] = pad_cols(bd[None, :], dw_p)
+            cout_p = _round_up(cout, 128)
+            blk["w_proj"] = pad_cols(
+                pad_rows(wp_[0, 0].astype(dtype), dw_p), cout_p
+            )                                                           # (dw_p, Cout_p)
+            blk["b_proj"] = pad_cols(bp_[None, :], cout_p)
             meta = {
-                "stride": stride,
-                "residual": stride == 1 and cin == wp_.shape[-1],
+                "stride": s if bi == 0 else 1,
+                "residual": (s if bi == 0 else 1) == 1 and cin == cout,
+                "c_out": cout,
             }
             blocks.append((blk, meta))
 
@@ -327,15 +351,17 @@ def fused_ir_block(
 # ---------------------------------------------------------------------------
 # bordered-layout helpers + full backbone
 # ---------------------------------------------------------------------------
-def pad_to_bordered(x: jax.Array) -> jax.Array:
-    """(B, H, W, C) -> (B, H+2, Wp, C) with zero borders, Wp = round_up(W+2, 16)."""
+def pad_to_bordered(x: jax.Array, c_pad: int | None = None) -> jax.Array:
+    """(B, H, W, C) -> (B, H+2, Wp, Cp) with zero borders, Wp = round_up(W+2, 16)
+    and Cp = ``c_pad`` (defaults to C — kernel callers pass round_up(C, 128))."""
     b, h, w, c = x.shape
     wp = _round_up(w + 2, 16)
-    return jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    cp = c if c_pad is None else c_pad
+    return jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cp - c)))
 
 
-def unpad_bordered(x: jax.Array, h: int, w: int) -> jax.Array:
-    return x[:, 1 : h + 1, 1 : w + 1, :]
+def unpad_bordered(x: jax.Array, h: int, w: int, c: int | None = None) -> jax.Array:
+    return x[:, 1 : h + 1, 1 : w + 1, : (x.shape[-1] if c is None else c)]
 
 
 def _downselect_cols(y: jax.Array, w_in: int) -> jax.Array:
@@ -362,7 +388,7 @@ def fused_mobilenet_backbone(
     x = jnp.clip(x.astype(jnp.float32) + packed["stem_b"], 0.0, 6.0).astype(dtype)
 
     h = w = x.shape[1]
-    x = pad_to_bordered(x)
+    x = pad_to_bordered(x, c_pad=_round_up(x.shape[-1], 128))
     taps = {}
     bi = 0
     for gi, (t, c, n, s) in enumerate(_BLOCK_CONFIG):
@@ -379,11 +405,11 @@ def fused_mobilenet_backbone(
                 h, w = h // 2, w // 2
             x = y
         if gi == 2:
-            taps["C3"] = unpad_bordered(x, h, w)
+            taps["C3"] = unpad_bordered(x, h, w, c=meta["c_out"])
         elif gi == 4:
-            taps["C4"] = unpad_bordered(x, h, w)
+            taps["C4"] = unpad_bordered(x, h, w, c=meta["c_out"])
 
-    x5 = unpad_bordered(x, h, w)
+    x5 = unpad_bordered(x, h, w, c=packed["head_k"].shape[0])
     c5 = jnp.dot(x5, packed["head_k"], preferred_element_type=jnp.float32)
     c5 = jnp.clip(c5 + packed["head_b"], 0.0, 6.0).astype(dtype)
     return taps["C3"], taps["C4"], c5

@@ -33,14 +33,17 @@ DTYPE = jnp.bfloat16
 
 def fake_block(cin, cexp, cout, has_expand):
     rng = np.random.default_rng(0)
+    cin_p = _round_up(cin, 128)
+    dw_p = cexp if has_expand else cin_p
+    cout_p = _round_up(cout, 128)
     blk = {
-        "w_dw": jnp.asarray(rng.standard_normal((16, cexp)) * 0.1, jnp.float32),
-        "b_dw": jnp.zeros((1, cexp), jnp.float32),
-        "w_proj": jnp.asarray(rng.standard_normal((cexp, cout)) * 0.05, DTYPE),
-        "b_proj": jnp.zeros((1, cout), jnp.float32),
+        "w_dw": jnp.asarray(rng.standard_normal((16, dw_p)) * 0.1, jnp.float32),
+        "b_dw": jnp.zeros((1, dw_p), jnp.float32),
+        "w_proj": jnp.asarray(rng.standard_normal((dw_p, cout_p)) * 0.05, DTYPE),
+        "b_proj": jnp.zeros((1, cout_p), jnp.float32),
     }
     if has_expand:
-        blk["w_exp"] = jnp.asarray(rng.standard_normal((cin, cexp)) * 0.05, DTYPE)
+        blk["w_exp"] = jnp.asarray(rng.standard_normal((cin_p, cexp)) * 0.05, DTYPE)
         blk["b_exp"] = jnp.zeros((1, cexp), jnp.float32)
     return blk
 
@@ -63,7 +66,7 @@ def main():
             x = jnp.asarray(
                 rng.standard_normal((BATCH, h, h, cin)) * 0.3, DTYPE
             )
-            xb = pad_to_bordered(x)
+            xb = pad_to_bordered(x, c_pad=_round_up(cin, 128))
             tag = (
                 f"block_{gi}_{bi} flat={bi_flat} h={h} cin={cin} cexp={cexp} "
                 f"cout={cout} stride={stride} res={residual}"
