@@ -121,14 +121,20 @@ def main():
         variables = cast_for_inference(variables)
 
     fused = jax.default_backend() == "tpu"
-    run = make_looped_caption(model, variables, beam, max_len, vocab, fused)
+    # The Pallas backbone is opt-in (--fused-backbone): measured 3.8x slower
+    # than XLA's conv pipeline on v5e (scripts/profile_encode.py) — serving
+    # default is fused decode + XLA encode.
+    fused_enc = fused and "--fused-backbone" in sys.argv
+    run = make_looped_caption(
+        model, variables, beam, max_len, vocab, fused, fused_enc=fused_enc
+    )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.standard_normal((batch, image_size, image_size, 3), dtype=np.float32) * 0.5
     )
 
-    if fused:
+    if fused_enc:
         # the fused-backbone path is newer than the decoder kernel; if its
         # Mosaic lowering regresses on this libtpu, fall back to the XLA
         # backbone rather than losing the benchmark entirely

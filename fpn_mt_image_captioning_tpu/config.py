@@ -111,6 +111,9 @@ class Config:
                                             # (iter_batches pads the tail batch)
     beam_parity_mode: bool = False          # reproduce reference prob-product/tied-beam quirks
     use_pallas: bool = True                 # fused Pallas attention kernels where profitable
+    fused_backbone: bool = False            # experimental Pallas backbone: measured SLOWER
+                                            # than XLA convs on v5e (45.3 vs 12.0 ms/batch-64
+                                            # — scripts/profile_encode.py); off by default
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     remat_encoder: bool = False             # jax.checkpoint over encoder layers
 

@@ -235,7 +235,11 @@ class Pipeline:
             return model.apply(variables, images, train=False, method=Transformer.encode)
 
         cfg = self.config
-        if cfg.use_pallas and jax.default_backend() == "tpu":
+        # The Pallas backbone is opt-in: measured 3.8x SLOWER than XLA's conv
+        # pipeline on v5e (45.3 vs 12.0 ms per batch-64 backbone forward,
+        # scripts/profile_encode.py) — XLA's internal conv layouts beat the
+        # 128-lane-padded bordered layout the manual-DMA kernel requires.
+        if cfg.use_pallas and cfg.fused_backbone and jax.default_backend() == "tpu":
             from ..ops.fused_backbone import fused_encode, supports_fused_backbone
 
             if supports_fused_backbone(cfg.backbone):

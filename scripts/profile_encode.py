@@ -107,9 +107,28 @@ def main():
         enc = model.apply(params, imgs, train=False, method=Transformer.encode)
         return enc.sum().astype(jnp.float32)
 
+    from fpn_mt_image_captioning_tpu.ops.fused_backbone import (
+        fused_encode,
+        fused_mobilenet_backbone,
+        pack_backbone_weights,
+    )
+
+    def run_fused_backbone(params, imgs):
+        fe_p = params["params"]["encoder"]["feature_extractor"]
+        fe_s = params["batch_stats"]["encoder"]["feature_extractor"]
+        packed = pack_backbone_weights(fe_p["backbone"], fe_s["backbone"], dtype=model.dtype)
+        c3, c4, c5 = fused_mobilenet_backbone(packed, imgs)
+        return (c3.sum() + c4.sum() + c5.sum()).astype(jnp.float32)
+
+    def run_fused_encode(params, imgs):
+        enc = fused_encode(model, params, imgs)
+        return enc.sum().astype(jnp.float32)
+
     results = {}
-    for name, fn in [("backbone", run_backbone), ("backbone+fpn", run_fpn),
-                     ("feature_extractor", run_fe), ("full_encode", run_encode)]:
+    for name, fn in [("backbone", run_backbone), ("fused_backbone", run_fused_backbone),
+                     ("backbone+fpn", run_fpn),
+                     ("feature_extractor", run_fe), ("full_encode", run_encode),
+                     ("fused_encode", run_fused_encode)]:
         t = slope_time(looped(fn))
         results[name] = t * 1000
         print(f"{name:20s} {t*1000:8.2f} ms/batch  ({BATCH/t:7.1f} img/s)", flush=True)
