@@ -179,6 +179,7 @@ def _decoder_kernel(
     num_heads: int,
     tile: int,
     topk: int,
+    ablate: str = "",
 ):
     layer = pl.program_id(0)
     bk, d = x_s.shape
@@ -327,27 +328,31 @@ def _decoder_kernel(
                         preferred_element_type=f32,
                     ).reshape(chunk, tile, hp)
 
-            # current position's logits from the staged rows (identity ancestry)
-            self_lg = jnp.dot(
-                q_t * row_s[0, r0 : r0 + tile, :], S, preferred_element_type=f32
-            )                                                     # (T, hp)
+            if "softmax" in ablate:  # perf-ablation: ctx := current V row only
+                w_hist = jnp.zeros((lpad, tile, hp), f32)
+                ctx_acc_s[:] = row_s[1, r0 : r0 + tile, :].astype(f32)
+            else:
+                # current position's logits from the staged rows (identity ancestry)
+                self_lg = jnp.dot(
+                    q_t * row_s[0, r0 : r0 + tile, :], S, preferred_element_type=f32
+                )                                                 # (T, hp)
 
-            lg = lg_s[:]
-            iota0 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0)
-            lg = jnp.where(
-                iota0 == pos, self_lg[None], jnp.where(iota0 > pos, -1e9, lg)
-            )
-            m = jnp.max(lg, axis=0, keepdims=True)
-            e = jnp.exp(lg - m)
-            w = e / jnp.sum(e, axis=0, keepdims=True)            # (L, T, 128) f32
-            w_self = jnp.sum(jnp.where(iota0 == pos, w, 0.0), axis=0)  # (T, hp)
-            w_hist = jnp.where(iota0 == pos, 0.0, w)
+                lg = lg_s[:]
+                iota0 = jax.lax.broadcasted_iota(jnp.int32, (lpad, tile, hp), 0)
+                lg = jnp.where(
+                    iota0 == pos, self_lg[None], jnp.where(iota0 > pos, -1e9, lg)
+                )
+                m = jnp.max(lg, axis=0, keepdims=True)
+                e = jnp.exp(lg - m)
+                w = e / jnp.sum(e, axis=0, keepdims=True)        # (L, T, 128) f32
+                w_self = jnp.sum(jnp.where(iota0 == pos, w, 0.0), axis=0)  # (T, hp)
+                w_hist = jnp.where(iota0 == pos, 0.0, w)
 
-            # current position's context from the staged V rows
-            w_self_d = jnp.dot(
-                w_self.astype(dtype), ST, preferred_element_type=f32
-            )                                                     # (T, d)
-            ctx_acc_s[:] = w_self_d * row_s[1, r0 : r0 + tile, :].astype(f32)
+                # current position's context from the staged V rows
+                w_self_d = jnp.dot(
+                    w_self.astype(dtype), ST, preferred_element_type=f32
+                )                                                 # (T, d)
+                ctx_acc_s[:] = w_self_d * row_s[1, r0 : r0 + tile, :].astype(f32)
 
             wait_hist(1, ti, buf)
 
@@ -375,6 +380,18 @@ def _decoder_kernel(
         attn = jnp.dot(ctx_s[:], wo_ref[0], preferred_element_type=f32) + bo_ref[0]
         out1 = layer_norm(attn + x.astype(f32), ln[0], ln[1])
         out1_b = out1.astype(dtype)
+
+        if "cross" in ablate:  # perf-ablation: skip cross-attention
+            out2 = out1
+            out2_b = out1_b
+            if "ffn" in ablate:
+                x_s[:] = out2.astype(dtype)
+                return
+            hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
+            hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)
+            ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
+            x_s[:] = layer_norm(ffn + out2, ln[4], ln[5]).astype(dtype)
+            return
 
         # ---- cross-attention (K/V shared per batch item, (Lenc, B, 2d) layout) --
         q2 = jnp.dot(out1_b, wcq_ref[0], preferred_element_type=f32) + bcq_ref[0]
@@ -411,6 +428,9 @@ def _decoder_kernel(
         out2_b = out2.astype(dtype)
 
         # ---- FFN ----------------------------------------------------------------
+        if "ffn" in ablate:  # perf-ablation: skip FFN
+            x_s[:] = out2.astype(dtype)
+            return
         hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
         hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)     # leaky_relu(0.2)
         ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
@@ -424,6 +444,10 @@ def _decoder_kernel(
 
     @pl.when(layer == num_layers)
     def _final_cell():
+        if "final" in ablate:  # perf-ablation: skip vocab projection + top-k
+            tops_ref[:] = jnp.zeros((bk, 128), f32)
+            topi_ref[:] = jnp.zeros((bk, 128), jnp.int32)
+            return
         # vocabulary projection + log-softmax + beam freeze + score add + the
         # per-row top-k extraction, all folded into the last grid step: the XLA
         # loop then runs top_k over (B, beam²) instead of (B, beam·V) — the
@@ -461,7 +485,9 @@ def _decoder_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_layers", "beam", "num_heads", "tile", "topk", "interpret"),
+    static_argnames=(
+        "num_layers", "beam", "num_heads", "tile", "topk", "interpret", "ablate"
+    ),
 )
 def fused_decode_step(
     packed: dict,
@@ -478,6 +504,7 @@ def fused_decode_step(
     tile: int = 128,
     topk: int | None = None,
     interpret: bool = False,
+    ablate: str = "",  # perf-ablation sections to skip: softmax/cross/ffn/final
 ):
     """All decoder layers + final vocab projection + log-softmax + beam freeze
     + per-row top-k for one position, in one kernel (grid = num_layers + 1).
@@ -571,6 +598,7 @@ def fused_decode_step(
     kernel = functools.partial(
         _decoder_kernel,
         num_layers=n, beam=beam, num_heads=num_heads, tile=tile, topk=topk,
+        ablate=ablate,
     )
 
     top_s, top_i, k_new, v_new = pl.pallas_call(
