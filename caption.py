@@ -1,0 +1,112 @@
+"""Batched serving CLI: caption a directory (or list) of images at full device
+throughput — the user-facing surface for BASELINE.json's serving contract
+(batch-N beam-K decode with the shared-KV-cache engine).
+
+No reference counterpart (``/root/reference/test.py`` captions ONE image per
+process run); this is the TPU-native framework's production path: images are
+decoded/resized on host threads, the NEXT batch is prefetched while the device
+captions the current one, and decode runs batch×beam-parallel through the
+fused Pallas decoder (on TPU) or the XLA cached engine elsewhere.
+
+    python caption.py --images=path/to/dir [--out=results/captions.json]
+                      [--decode_batch=64] [--beam_search_n=8]
+
+Writes a JSON list of {"file", "caption"} and prints throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from fpn_mt_image_captioning_tpu.config import Config
+from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info, load_image
+from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".ppm", ".bmp")
+
+
+def list_images(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.lower().endswith(IMAGE_EXTS)
+    )
+    if not files:
+        raise SystemExit(f"no images under {path}")
+    return files
+
+
+def load_batch(paths: list[str], size: int, pool: ThreadPoolExecutor) -> np.ndarray:
+    imgs = list(pool.map(lambda p: np.asarray(load_image(p, None, size)[0]), paths))
+    return np.stack(imgs)
+
+
+def main(cfg: Config, images_path: str, out_path: str | None) -> list[dict]:
+    files = list_images(images_path)
+    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    pipeline = Pipeline(
+        cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
+    )
+
+    batch = max(cfg.decode_batch, 1)
+    chunks = [files[i : i + batch] for i in range(0, len(files), batch)]
+    results: list[dict] = []
+    pool = ThreadPoolExecutor(max_workers=min(16, batch))
+
+    # prefetch pipeline: host loads batch i+1 while the device captions batch i
+    pending = pool.submit(load_batch, chunks[0], cfg.image_input_size, pool)
+    t0 = time.perf_counter()
+    for ci, chunk in enumerate(chunks):
+        imgs = pending.result()
+        if ci + 1 < len(chunks):
+            pending = pool.submit(
+                load_batch, chunks[ci + 1], cfg.image_input_size, pool
+            )
+        if len(chunk) < batch:  # pad the tail so the compiled shape is reused
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch - len(chunk), *imgs.shape[1:]), imgs.dtype)]
+            )
+        seqs, lengths = pipeline.predict_batch(imgs)
+        for i, f in enumerate(chunk):
+            results.append(
+                {"file": f, "caption": pipeline._to_caption(seqs[i], lengths[i])}
+            )
+    dt = time.perf_counter() - t0
+    pool.shutdown()
+    pipeline.close()
+
+    print(
+        f"captioned {len(files)} images in {dt:.2f}s "
+        f"({len(files)/dt:.1f} img/s end-to-end, batch={batch}, "
+        f"beam={cfg.beam_search_n})"
+    )
+    if out_path is None:
+        out_path = os.path.join(cfg.result_dir, "serving_captions_result.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}")
+    return results
+
+
+if __name__ == "__main__":
+    images, out = None, None
+    passthrough = []
+    for arg in sys.argv[1:]:
+        if arg.startswith("--images="):
+            images = arg.split("=", 1)[1]
+        elif arg.startswith("--out="):
+            out = arg.split("=", 1)[1]
+        else:
+            passthrough.append(arg)
+    if images is None:
+        raise SystemExit("usage: python caption.py --images=<dir-or-file> [--out=...]")
+    main(Config.from_flags(passthrough), images, out)

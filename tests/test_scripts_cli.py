@@ -70,6 +70,26 @@ def test_train_test_show_results_flow(workspace):
     assert len(rendered) == 2, r3.stdout[-2000:]
 
 
+@pytest.mark.slow
+def test_caption_serving_cli(workspace):
+    """Batched serving surface (BASELINE serving contract): caption a directory
+    with tail-batch padding and prefetch, reusing the checkpoint train.py wrote.
+    Depends on test_train_test_show_results_flow having trained in `workspace`."""
+    if not (workspace / "datasets/_tokenizer.json").exists():
+        pytest.skip("training flow did not run first")
+    img_dir = workspace / "data/images/val2017"
+    r = run_script(
+        "caption.py",
+        [f"--images={img_dir}", "--out=results/serve.json", *COMMON],
+        cwd=workspace,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.load(open(workspace / "results/serve.json"))
+    assert len(out) == len(list(img_dir.glob("*.png")))
+    assert all({"file", "caption"} <= set(row) for row in out)
+    assert "img/s end-to-end" in r.stdout
+
+
 def test_convert_dataset_cli(tmp_path):
     from fixtures import make_iuxray_raw
 
