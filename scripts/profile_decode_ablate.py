@@ -24,7 +24,7 @@ from fpn_mt_image_captioning_tpu.ops.fused_decoder import (
     pack_decoder_weights,
 )
 
-BATCH, BEAM, SIZE, MAXLEN, K = 64, 8, 512, 60, 8
+BATCH, BEAM, SIZE, MAXLEN, K = 64, 8, 512, 60, 64
 NL, D, DFF, H, VOCAB = 6, 512, 2048, 8, 2000
 
 
