@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_CHAIN = 16
+N_CHAIN = 96
 BK, D, DFF, VP, LPAD, LENC, BITEMS, NL, TILE = 512, 512, 2048, 2048, 64, 16, 64, 6, 128
 
 
@@ -98,19 +98,32 @@ def variant_b():
     return make
 
 
-def variant_c():
+def variant_c(compute_dots: int = 0, with_oh: bool = True):
     nl = NL - 1
 
-    def kern(pos_ref, x_ref, oh_ref, *refs):
-        # refs: 14 weight blocks, kv_cross, wf, bf, scores, fin, k_hbm, v_hbm,
-        # then outputs (tops, topi, k_out, v_out), then scratch
-        tops_ref = refs[20]
-        x_s = refs[24]
+    def kern(pos_ref, x_ref, *refs):
+        # refs: [oh if with_oh], 13 weight blocks, kv_cross, wf, bf, scores,
+        # fin, k_hbm, v_hbm, then outputs (tops, topi, k_out, v_out), scratch
+        base = 1 if with_oh else 0
+        w1_ref = refs[base + 8]   # (1, D, DFF)
+        tops_ref = refs[base + 20]
+        x_s = refs[base + 24]
         layer = pl.program_id(0)
 
         @pl.when(layer == 0)
         def _():
             x_s[:] = x_ref[:]
+
+        @pl.when(layer < NL)
+        def _():
+            # optional per-cell compute load to test DMA/compute overlap
+            for i in range(compute_dots):
+                h = jnp.dot(
+                    x_s[:], w1_ref[0], preferred_element_type=jnp.float32
+                )
+                x_s[:] = (x_s[:].astype(jnp.float32) + h[:, :D] * 1e-30).astype(
+                    x_s.dtype
+                )
 
         @pl.when(layer == NL)
         def _():
@@ -120,12 +133,16 @@ def variant_c():
             )
 
     dtype = jnp.bfloat16
+    oh_spec = (
+        [pl.BlockSpec((4, LPAD, TILE, TILE), lambda l, *_: (0, 0, 0, 0))]
+        if with_oh else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NL + 1,),
         in_specs=[
             pl.BlockSpec((BK, D), lambda l, *_: (0, 0)),
-            pl.BlockSpec((4, LPAD, TILE, TILE), lambda l, *_: (0, 0, 0, 0)),
+            *oh_spec,
             pl.BlockSpec((1, D, 3 * D), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
             pl.BlockSpec((1, 1, 3 * D), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
             pl.BlockSpec((1, D, D), lambda l, *_: (jnp.minimum(l, nl), 0, 0)),
@@ -167,8 +184,8 @@ def variant_c():
         ],
     )
 
-    def call(args, x):
-        (oh, ws, kv_cross, wf, bf, scores, fin, k_hbm, v_hbm) = args
+    def call(args, x, k_hbm, v_hbm):
+        (oh, ws, kv_cross, wf, bf, scores, fin) = args
         tops, topi, k_new, v_new = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -178,13 +195,15 @@ def variant_c():
                 jax.ShapeDtypeStruct(k_hbm.shape, dtype),
                 jax.ShapeDtypeStruct(v_hbm.shape, dtype),
             ],
-            input_output_aliases={21: 2, 22: 3},
+            input_output_aliases=(
+                {21: 2, 22: 3} if with_oh else {20: 2, 21: 3}
+            ),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024
             ),
-        )(jnp.zeros((1,), jnp.int32), x, oh, *ws, kv_cross, wf, bf, scores, fin,
-          k_hbm, v_hbm)
-        return tops
+        )(jnp.zeros((1,), jnp.int32), x, *([oh] if with_oh else []), *ws,
+          kv_cross, wf, bf, scores, fin, k_hbm, v_hbm)
+        return tops, k_new, v_new
 
     def make(n):
         dt = dtype
@@ -206,24 +225,38 @@ def variant_c():
         k_hbm = jnp.zeros((NL, LPAD, BK, D), dt)
         v_hbm = jnp.zeros((NL, LPAD, BK, D), dt)
         x = jnp.zeros((BK, D), dt)
-        args = (oh, ws, kv_cross, wf, bf, scores, fin, k_hbm, v_hbm)
+        args = (oh, ws, kv_cross, wf, bf, scores, fin)
 
         @jax.jit
-        def run(args, x):
+        def run(args, x, k_hbm, v_hbm):
+            # caches flow THROUGH the chain so the aliased buffers donate
+            # cleanly — loop-invariant donated operands get copied every call
+            # (the first version of this probe measured exactly that artifact)
             for _ in range(n):
-                t = call(args, x)
+                t, k_hbm, v_hbm = call(args, x, k_hbm, v_hbm)
                 x = x + (t.sum() * 1e-30).astype(x.dtype)  # dependency
             return x.sum()
 
-        return lambda: run(args, x)
+        return lambda: run(args, x, k_hbm, v_hbm)
 
     return make
 
 
 def main():
-    for name, mk in [("A trivial", variant_a()), ("B grid7", variant_b()),
-                     ("C decoder-shaped", variant_c())]:
-        t = slope(mk)
+    import sys
+
+    variants = [
+        ("A trivial", variant_a),
+        ("B grid7", variant_b),
+        ("C decoder-shaped", variant_c),
+        ("D compute-overlap", lambda: variant_c(compute_dots=8)),
+        ("E no-oh", lambda: variant_c(with_oh=False)),
+    ]
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for name, mk in variants:
+        if only and not name.startswith(only):
+            continue
+        t = slope(mk())
         print(f"{name:20s} {t*1e6:8.1f} us/call", flush=True)
 
 

@@ -149,6 +149,63 @@ def test_fused_matches_xla_multichunk(rng):
             src_local = src_local.at[:, t + 1].set(own % BEAM)
 
 
+def test_fused_manual_oh_path_matches_xla(rng):
+    """batch*beam = 128 -> tile 128 -> the manual-DMA ancestry/vocab staging
+    path (oh_manual) — the large-batch serving configuration — must agree with
+    XLA just like the small-batch blocked path."""
+    b, beam = 16, 8
+    bk = b * beam
+    model = Transformer(
+        num_layers=NL, d_model=D, num_heads=H, dff=DFF,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=MAX_LEN + 1,
+    )
+    enc = jax.random.normal(rng, (b, 4, D))
+    tar = jnp.ones((b, 4), dtype=jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, enc, tar, False, None)
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    lpad = round_up(MAX_LEN + 1, 8)
+
+    enc_tiled = jnp.repeat(enc, beam, axis=0)
+    xla_cache = model.apply(variables, enc_tiled, lpad, method=Transformer.init_cache)
+    fused_cache = init_fused_cache(packed, enc, beam, MAX_LEN)
+
+    emb_table = np.asarray(params["decoder"]["embedding"]["embedding"])
+    pe = raw_positional_encoding(MAX_LEN + 1, D)
+    own = jnp.arange(bk, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(own[:, None], (bk, lpad))
+    src_local = jnp.broadcast_to((own % beam)[:, None], (bk, lpad))
+
+    tokens_per_step = jax.random.randint(rng, (3, bk), 1, VOCAB)
+    for t in range(3):
+        tokens = tokens_per_step[t]
+        xla_logits, xla_cache = model.apply(
+            variables, tokens, jnp.int32(t), xla_cache, src_flat,
+            method=Transformer.decode_step,
+        )
+        x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[t])
+        top_s, top_i, fused_cache = fused_decode_step(
+            packed, fused_cache, x_emb, src_local.T, jnp.int32(t),
+            jnp.zeros((bk, 1)), jnp.zeros((bk, 1)),
+            num_layers=NL, beam=beam, num_heads=H, topk=4, interpret=True,
+        )
+        expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
+        exp_s, exp_i = jax.lax.top_k(jnp.asarray(expected), 4)
+        np.testing.assert_allclose(
+            np.asarray(top_s[:, :4]), np.asarray(exp_s), atol=3e-4, err_msg=f"step {t}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(top_i[:, :4]), np.asarray(exp_i), err_msg=f"step {t}"
+        )
+        if t == 1:  # one reorder inside the window
+            parent = jnp.asarray(np.resize([1, 0], beam), jnp.int32)
+            flat_parent = (jnp.arange(bk) // beam) * beam + jnp.tile(parent, b)
+            src_flat = jnp.take(src_flat, flat_parent, axis=0)
+            src_local = jnp.take(src_local, flat_parent, axis=0)
+        src_flat = src_flat.at[:, t + 1].set(own)
+        src_local = src_local.at[:, t + 1].set(own % beam)
+
+
 def test_fused_cache_positions_written(setup, rng):
     """The aliased HBM cache must contain the projected K rows at each position."""
     model, variables, enc = setup
