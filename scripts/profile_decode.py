@@ -32,7 +32,8 @@ from fpn_mt_image_captioning_tpu.ops.fused_decoder import (
     pack_decoder_weights,
 )
 
-BATCH, BEAM, SIZE, MAXLEN, K = 64, 8, 512, 60, 8
+BATCH, BEAM, SIZE, MAXLEN, K = 64, 8, 512, 60, 64
+TILE = int(__import__('os').environ.get('PROF_TILE', '128'))
 NL, D, DFF, H, VOCAB = 6, 512, 2048, 8, 2000
 
 
@@ -89,7 +90,7 @@ def main():
                 x, cache, acc = carry
                 top_s, top_i, cache = fused_decode_step(
                     packed, cache, x, srcT, jnp.int32(pos), scores0, fin0,
-                    num_layers=NL, beam=BEAM, num_heads=H,
+                    num_layers=NL, beam=BEAM, num_heads=H, tile=TILE,
                 )
                 s = top_s[:, :BEAM].sum() + top_i[:, :BEAM].sum().astype(jnp.float32)
                 return x + (s * 1e-30).astype(x.dtype), cache, acc + s
@@ -101,7 +102,10 @@ def main():
 
     for pos in (0, 30, 59):
         t = slope(kernel_loop(pos))
-        print(f"kernel pos={pos:2d}        {t*1000:8.3f} ms/step", flush=True)
+        print(f"kernel tile={TILE} pos={pos:2d}  {t*1000:8.3f} ms/step", flush=True)
+
+    if TILE != 128:  # tile sweep probes skip the (tile-128) full-round measure
+        return
 
     # ---- full beam-search rounds (60 steps incl. XLA bookkeeping) ------------
     @jax.jit
