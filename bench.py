@@ -149,8 +149,10 @@ def main():
     batch_ms = slope_ms(run, images, k)
     throughput = batch / (batch_ms / 1000)
 
-    # single-image device latency (same slope method at batch 1)
-    one_ms = slope_ms(run, images[:1], k)
+    # single-image device latency (same slope method at batch 1). Batch-1
+    # rounds are ~6 ms, so the slope needs ~8x more rounds than batch-64 for
+    # the same signal-to-tunnel-jitter ratio.
+    one_ms = slope_ms(run, images[:1], k * 8)
 
     print(json.dumps({
         "metric": "captioned images/sec/chip @ beam=8",
