@@ -25,8 +25,8 @@ import numpy as np
 def main():
     tiny = "--tiny" in sys.argv
     if tiny:
-        image_size, vocab, seq, dims = 256, 200, 16, (2, 64, 128, 4)
-        batches, iters, dtype = (4,), 2, "float32"
+        image_size, vocab, seq, dims = 128, 200, 16, (2, 64, 128, 4)
+        batches, iters, dtype = (2,), 2, "float32"
     else:
         image_size, vocab, seq, dims = 512, 2000, 64, (6, 512, 2048, 8)
         batches, iters, dtype = (10, 32), 3, "bfloat16"
@@ -57,9 +57,6 @@ def main():
         optimizer.init(variables["params"]), jnp.int32(0),
     )
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, img, caps):
         tar_inp, tar_real = caps[:, :-1], caps[:, 1:]
         mask = create_masks(tar_inp)
@@ -78,20 +75,39 @@ def main():
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, bs, opt, state.step + 1), loss
 
+    # slope measurement: n steps back-to-back on device inside one jit (state
+    # flows through the fori carry, so buffers donate cleanly); per-step cost
+    # is (t(2k) - t(k)) / k — the ~30 ms/sync tunnel round-trip cancels.
+    @jax.jit
+    def run_steps(state, img, caps, n):
+        def body(_, carry):
+            st, acc = carry
+            st, loss = train_step(st, img, caps)
+            return st, acc + loss
+
+        st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return st, acc
+
     results = {}
     rng_np = np.random.default_rng(0)
     for batch in batches:
+        # slope rounds scale inversely with step time so every batch size gets
+        # the same signal-to-tunnel-jitter ratio
+        k = 2 if tiny else max(iters, 4 * max(batches) // batch)
         img = jnp.asarray(
             rng_np.standard_normal((batch, image_size, image_size, 3), dtype=np.float32) * 0.5
         )
         caps = jnp.asarray(rng_np.integers(1, vocab, (batch, seq)), jnp.int32)
-        state, loss = train_step(state, img, caps)
-        np.asarray(loss)  # sync (block_until_ready unreliable on tunneled backend)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, loss = train_step(state, img, caps)
-            np.asarray(loss)
-        dt = (time.perf_counter() - t0) / iters
+
+        def timed(n):
+            t0 = time.perf_counter()
+            _, acc = run_steps(state, img, caps, jnp.int32(n))
+            np.asarray(acc)  # sync (block_until_ready unreliable on tunnel)
+            return time.perf_counter() - t0
+
+        timed(1)  # warm / compile
+        t1, t2 = timed(k), timed(2 * k)
+        dt = max((t2 - t1) / k, 1e-9)
         results[f"batch_{batch}"] = {
             "step_ms": round(dt * 1000, 1),
             "images_per_sec": round(batch / dt, 1),
