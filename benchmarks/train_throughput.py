@@ -75,9 +75,11 @@ def main():
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, bs, opt, state.step + 1), loss
 
-    # slope measurement: n steps back-to-back on device inside one jit (state
-    # flows through the fori carry, so buffers donate cleanly); per-step cost
-    # is (t(2k) - t(k)) / k — the ~30 ms/sync tunnel round-trip cancels.
+    # slope measurement: n steps back-to-back on device inside one jit; the
+    # fori carry reuses the state buffers between steps. The INPUT state is
+    # deliberately NOT donated: timed() re-runs with the same state arrays, so
+    # the bench holds one extra params+optimizer copy (fine at these sizes).
+    # Per-step cost is (t(2k) - t(k)) / k — the ~30 ms/sync tunnel RTT cancels.
     @jax.jit
     def run_steps(state, img, caps, n):
         def body(_, carry):

@@ -73,11 +73,14 @@ def test_train_test_show_results_flow(workspace):
 @pytest.mark.slow
 def test_caption_serving_cli(workspace):
     """Batched serving surface (BASELINE serving contract): caption a directory
-    with tail-batch padding and prefetch, reusing the checkpoint train.py wrote.
-    Depends on test_train_test_show_results_flow having trained in `workspace`."""
+    with tail-batch padding, prefetch, and a warm-up batch excluded from the
+    timed region. Self-sufficient: trains a checkpoint first if the training
+    flow has not already populated `workspace`."""
     if not (workspace / "datasets/_tokenizer.json").exists():
-        pytest.skip("training flow did not run first")
-    img_dir = workspace / "data/images/val2017"
+        r0 = run_script("train.py", COMMON, cwd=workspace)
+        assert r0.returncode == 0, r0.stderr[-3000:]
+    # train2017 has 4 images -> 2 batch-2 chunks -> warm-up + 1 timed chunk
+    img_dir = workspace / "data/images/train2017"
     r = run_script(
         "caption.py",
         [f"--images={img_dir}", "--out=results/serve.json", *COMMON],
