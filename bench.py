@@ -1,8 +1,9 @@
 """Headline benchmark: captioned images/sec/chip at beam=8 (BASELINE.json).
 
 Protocol (config 5 of BASELINE.json — batched serving): flagship model
-(512² input, d_model=512, 6+6 layers, dff=2048, 8 heads, vocab 2000, bfloat16
-compute), batch 64, beam 8, 60 decode steps with the shared-KV-cache
+(512² input, d_model=512, 6+6 layers, dff=2048, 8 heads, vocab 2000 by default
+— IU X-ray's real vocabulary is ~1-2k words; override with ``--vocab N``;
+bfloat16 compute), batch 64, beam 8, 60 decode steps with the shared-KV-cache
 ``lax.while_loop`` engine. Encoder runs once per image; decode is
 batch×beam-parallel.
 
@@ -15,18 +16,27 @@ is the slope (t(2K) − t(K)) / K — tunnel latency and dispatch cancel exactly
 The reported number is pure device throughput, which is what a pipelined
 serving deployment sustains.
 
-Prints ONE JSON line:
+Prints ONE JSON line (immediately after the headline measurement — remote
+compiles through the tunnel can take minutes, so nothing optional runs before
+the print):
   {"metric": "captioned images/sec/chip @ beam=8", "value": N, "unit": "img/s",
    "vs_baseline": N/500, ...}
 (the 500 img/s denominator is the BASELINE.json v5e target; the TF reference
 publishes no throughput numbers — SURVEY.md §6).
 
-``--tiny`` runs a CPU-safe miniature for smoke-testing the bench path.
+Optional extra passes, each printed as its OWN labeled JSON line afterwards:
+  --p50     batch-1 device-only slope (``device_ms`` — dispatch/host time
+            cancels by construction; see caption.py --latency for the
+            end-to-end single-request number)
+  --tiny    CPU-safe miniature for smoke-testing the bench path
+  --fused-backbone  opt-in Pallas backbone (measured slower than XLA)
+Set ``BENCH_BUDGET_S`` to cap optional passes (the headline always runs).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -105,13 +115,34 @@ def slope_ms(run, images, k):
     return max((t2 - t1) / k, 1e-9) * 1000
 
 
+def _flag_value(name, default):
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
 def main():
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "0") or 0)
+    # Persistent compile cache: measured (round 3 probes) to cut a fresh
+    # process' program setup from ~650 s (remote compile under load) to
+    # ~145 s (local deserialize + device load) on the tunneled TPU backend.
+    # /tmp persists between the builder's warm-up runs and the driver's
+    # invocation on this machine.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization, never a dependency
     tiny = "--tiny" in sys.argv
     if tiny:
         image_size, vocab, max_len, dims = 256, 200, 8, (2, 64, 128, 4)
         batch, beam, k, dtype = 4, 2, 2, "float32"
     else:
-        image_size, vocab, max_len, dims = 512, 2000, 60, (6, 512, 2048, 8)
+        image_size, max_len, dims = 512, 60, (6, 512, 2048, 8)
+        vocab = _flag_value("--vocab", 2000)
         batch, beam, k, dtype = 64, 8, 8, "bfloat16"
 
     from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
@@ -137,11 +168,15 @@ def main():
     if fused_enc:
         # the fused-backbone path is newer than the decoder kernel; if its
         # Mosaic lowering regresses on this libtpu, fall back to the XLA
-        # backbone rather than losing the benchmark entirely
+        # backbone rather than losing the benchmark entirely.  np.asarray is
+        # the sync: a runtime kernel fault surfaces here, inside the except.
         try:
             np.asarray(run(images, jnp.int32(1)))
         except Exception as e:  # pragma: no cover - device-dependent
-            print(f"fused-backbone path failed ({type(e).__name__}); XLA backbone fallback", file=sys.stderr)
+            print(
+                f"fused-backbone path failed ({type(e).__name__}); XLA backbone fallback",
+                file=sys.stderr, flush=True,
+            )
             run = make_looped_caption(
                 model, variables, beam, max_len, vocab, fused, fused_enc=False
             )
@@ -149,23 +184,37 @@ def main():
     batch_ms = slope_ms(run, images, k)
     throughput = batch / (batch_ms / 1000)
 
-    # single-image device latency (same slope method at batch 1). Batch-1
-    # rounds are ~6 ms, so the slope needs ~8x more rounds than batch-64 for
-    # the same signal-to-tunnel-jitter ratio.
-    one_ms = slope_ms(run, images[:1], k * 8)
-
+    # THE headline line — printed before any optional pass so a timeout on a
+    # slow-tunnel day cannot lose it (round-2 postmortem: the p50 pass compiled
+    # a second program before anything was printed; the driver saw rc=124 and
+    # no output).
     print(json.dumps({
         "metric": "captioned images/sec/chip @ beam=8",
         "value": round(throughput, 2),
         "unit": "img/s",
         "vs_baseline": round(throughput / 500.0, 4),
-        "p50_latency_ms": round(one_ms, 2),
         "batch_ms": round(batch_ms, 2),
         "batch": batch, "beam": beam, "decode_steps": max_len,
-        "image_size": image_size, "dtype": dtype,
+        "image_size": image_size, "vocab": vocab, "dtype": dtype,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-    }))
+    }), flush=True)
+
+    # ---- optional passes (flag-gated; never before the headline print) ----
+    def budget_left() -> bool:
+        return not budget_s or (time.monotonic() - t_start) < budget_s
+
+    if "--p50" in sys.argv and budget_left():
+        # single-image DEVICE-ONLY latency (slope at batch 1: dispatch and host
+        # time cancel by construction — this is chip compute, not request
+        # latency; see caption.py --latency for the end-to-end number).
+        # Batch-1 rounds are ~6 ms, so the slope needs ~8x more rounds than
+        # batch-64 for the same signal-to-tunnel-jitter ratio.
+        one_ms = slope_ms(run, images[:1], k * 8)
+        print(json.dumps({
+            "metric": "single-image device compute (batch-1 slope)",
+            "device_ms": round(one_ms, 2), "unit": "ms",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".ppm", ".bmp")
 
 
 def list_images(path: str) -> list[str]:
+    if not os.path.exists(path):
+        raise SystemExit(f"no such file or directory: {path}")
     if os.path.isfile(path):
         return [path]
     files = sorted(
@@ -47,7 +49,49 @@ def list_images(path: str) -> list[str]:
     return files
 
 
-def main(cfg: Config, images_path: str, out_path: str | None) -> list[dict]:
+def measure_latency(pipeline, files, image_size: int, n: int) -> dict:
+    """End-to-end single-request latency: host image load → device encode +
+    beam decode → detokenized caption string. Unlike bench.py's batch-1 slope
+    (pure device compute — dispatch and host time cancel by construction),
+    this times the full request path a caller actually experiences, including
+    host↔device transfer and any tunnel round-trip."""
+    reps = [files[i % len(files)] for i in range(n)]
+    # warm-up: compiles the batch-1 encode + decode programs
+    img = load_image_batch(reps[:1], image_size)
+    seqs, lengths = pipeline.predict_batch(img)
+    pipeline.to_caption(seqs[0], lengths[0])
+
+    times = []
+    for f in reps:
+        t0 = time.perf_counter()
+        img = load_image_batch([f], image_size)
+        seqs, lengths = pipeline.predict_batch(img)
+        pipeline.to_caption(seqs[0], lengths[0])
+        times.append((time.perf_counter() - t0) * 1000)
+    times.sort()
+    return {
+        "metric": "end-to-end single-request latency",
+        "unit": "ms",
+        "n": n,
+        "p50_ms": round(times[len(times) // 2], 2),
+        "p90_ms": round(times[int(len(times) * 0.9)], 2),
+        "min_ms": round(times[0], 2),
+    }
+
+
+def _write_results(results: list[dict], out_path: str | None, cfg: Config) -> str:
+    if out_path is None:
+        out_path = os.path.join(cfg.result_dir, "serving_captions_result.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}")
+    return out_path
+
+
+def main(
+    cfg: Config, images_path: str, out_path: str | None, latency_n: int = 0
+) -> list[dict]:
     files = list_images(images_path)
     max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
     pipeline = Pipeline(
@@ -71,60 +115,75 @@ def main(cfg: Config, images_path: str, out_path: str | None) -> list[dict]:
             )
         seqs, lengths = pipeline.predict_batch(imgs)
         return [
-            {"file": f, "caption": pipeline._to_caption(seqs[i], lengths[i])}
+            {"file": f, "caption": pipeline.to_caption(seqs[i], lengths[i])}
             for i, f in enumerate(chunk)
         ]
 
-    # warm-up outside the timed region: the first predict_batch jit-compiles
-    # encode + the whole beam-search loop (minutes on a cold cache)
-    pending = submit(chunks[0])
-    first_imgs = pending.result()
-    results.extend(captioned(chunks[0], first_imgs))
+    # an image-load or decode failure mid-run must not lose already-computed
+    # captions or leak the prefetch executor / checkpoint-manager threads
+    try:
+        # warm-up outside the timed region: the first predict_batch jit-compiles
+        # encode + the whole beam-search loop (minutes on a cold cache)
+        pending = submit(chunks[0])
+        first_imgs = pending.result()
+        results.extend(captioned(chunks[0], first_imgs))
 
-    # prefetch pipeline: host loads batch i+1 while the device captions batch i
-    t0 = time.perf_counter()
-    if len(chunks) > 1:
-        pending = submit(chunks[1])
-        for ci in range(1, len(chunks)):
-            imgs = pending.result()
-            if ci + 1 < len(chunks):
-                pending = submit(chunks[ci + 1])
-            results.extend(captioned(chunks[ci], imgs))
-    dt = time.perf_counter() - t0
-    timed_images = len(files) - len(chunks[0])
-    prefetcher.shutdown()
-    pipeline.close()
+        # prefetch pipeline: host loads batch i+1 while the device captions batch i
+        t0 = time.perf_counter()
+        if len(chunks) > 1:
+            pending = submit(chunks[1])
+            for ci in range(1, len(chunks)):
+                imgs = pending.result()
+                if ci + 1 < len(chunks):
+                    pending = submit(chunks[ci + 1])
+                results.extend(captioned(chunks[ci], imgs))
+        dt = time.perf_counter() - t0
+        timed_images = len(files) - len(chunks[0])
 
-    if timed_images:
-        print(
-            f"captioned {len(files)} images ({timed_images} post-warm-up in "
-            f"{dt:.2f}s = {timed_images/dt:.1f} img/s end-to-end, "
-            f"batch={batch}, beam={cfg.beam_search_n})"
-        )
-    else:
-        print(
-            f"captioned {len(files)} images (single batch incl. compile; "
-            f"batch={batch}, beam={cfg.beam_search_n})"
-        )
-    if out_path is None:
-        out_path = os.path.join(cfg.result_dir, "serving_captions_result.json")
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"wrote {out_path}")
+        if timed_images:
+            print(
+                f"captioned {len(files)} images ({timed_images} post-warm-up in "
+                f"{dt:.2f}s = {timed_images/dt:.1f} img/s end-to-end, "
+                f"batch={batch}, beam={cfg.beam_search_n})"
+            )
+        else:
+            print(
+                f"captioned {len(files)} images (single batch incl. compile; "
+                f"batch={batch}, beam={cfg.beam_search_n})"
+            )
+
+        if latency_n:
+            print(json.dumps(
+                measure_latency(pipeline, files, cfg.image_input_size, latency_n)
+            ))
+    except BaseException:
+        if results:  # partial results are still worth persisting
+            _write_results(results, out_path, cfg)
+        raise
+    finally:
+        prefetcher.shutdown(wait=False, cancel_futures=True)
+        pipeline.close()
+
+    _write_results(results, out_path, cfg)
     return results
 
 
 if __name__ == "__main__":
-    images, out = None, None
+    images, out, latency_n = None, None, 0
     passthrough = []
     for arg in sys.argv[1:]:
         if arg.startswith("--images="):
             images = arg.split("=", 1)[1]
         elif arg.startswith("--out="):
             out = arg.split("=", 1)[1]
+        elif arg.startswith("--latency="):
+            latency_n = int(arg.split("=", 1)[1])
+        elif arg == "--latency":
+            latency_n = 16
         else:
             passthrough.append(arg)
     if images is None:
-        raise SystemExit("usage: python caption.py --images=<dir-or-file> [--out=...]")
-    main(Config.from_flags(passthrough), images, out)
+        raise SystemExit(
+            "usage: python caption.py --images=<dir-or-file> [--out=...] [--latency[=N]]"
+        )
+    main(Config.from_flags(passthrough), images, out, latency_n=latency_n)

@@ -10,9 +10,23 @@ two match modules — exact and Porter-stem — and the standard parameters
     score   = F_mean · (1 - penalty)
 
 Multiple references: the per-reference maximum is taken; the corpus score is the
-mean over images. Values track the Java implementation closely but are not
-bit-identical (documented approximation; the Java tool also uses WordNet synonym
-and paraphrase modules unavailable offline).
+mean over images.
+
+Validation (tests/test_metrics_crosscheck.py, vs nltk's INDEPENDENT
+implementation of the same algorithm with an empty WordNet):
+
+  * captions without repeated words: EXACT agreement (unique alignment —
+    validates matching, chunk counting, F-mean and penalty bit-for-bit);
+  * realistic caption corpus: |delta| = 0.0011 (greedy alignment direction
+    differs only in chunk tie-breaks among duplicate words; match counts are
+    always identical);
+  * pathological duplicate-heavy stress set: mean per-pair |delta| = 0.024.
+
+Residual (unmeasurable offline — no Java, no jar, no WordNet/paraphrase data,
+zero egress) vs pycocoevalcap's METEOR-1.5 jar (`/root/reference/
+dataset.py:277-298`): the WordNet-synonym and paraphrase match modules and
+METEOR-1.5's retuned parameters/module weights. Not used for checkpoint gating
+(CIDEr gates saves, as in the reference).
 """
 
 from __future__ import annotations

@@ -23,7 +23,12 @@ from ..train.losses import masked_sparse_ce
 from ..train.pipeline import TrainState
 from .mesh import data_sharding, param_shardings, replicated
 
-__all__ = ["make_sharded_train_step", "shard_state", "make_sharded_decode_encode"]
+__all__ = [
+    "make_sharded_train_step",
+    "shard_state",
+    "make_sharded_decode_encode",
+    "make_sharded_beam_search",
+]
 
 
 def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainState, Any]:
@@ -97,3 +102,52 @@ def make_sharded_decode_encode(mesh: Mesh, model: Transformer):
         return model.apply(variables, images, train=False, method=Transformer.encode)
 
     return encode
+
+
+def make_sharded_beam_search(
+    mesh: Mesh,
+    model: Transformer,
+    *,
+    beam_n: int,
+    max_len: int,
+    start_token: int,
+    end_token: int,
+    parity: bool = False,
+    fused: bool = True,
+):
+    """Batch-sharded beam search via ``shard_map`` over the ``data`` axis.
+
+    GSPMD cannot partition the hand-written fused Pallas decoder kernel
+    (ops/fused_decoder.py), but it doesn't need to: beam search is
+    batch-parallel by construction — beams never interact across batch items
+    (SURVEY.md §2.5's shard-aware serving requirement). Each device therefore
+    runs the FULL engine (encode output slice → fused kernel decode loop) on
+    its local batch shard with replicated weights; the decomposition is exact,
+    so sequences match the unsharded engine bit-for-bit.
+
+    Variables enter with a replicated spec — under TP-sharded serving state the
+    wrapping jit inserts one all-gather per call (decode weights are ~50 MB in
+    bf16; negligible against a 60-step decode).
+    """
+    from ..decode.beam_search import beam_search
+
+    data_axis = mesh.axis_names[0]
+
+    def local(variables, enc):
+        return beam_search(
+            model, variables, enc,
+            beam_n=beam_n, max_len=max_len,
+            start_token=start_token, end_token=end_token,
+            parity=parity, fused=fused,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis)),
+        # the fused kernel's pallas_call out_shapes carry no varying-mesh-axes
+        # annotation; the engine is collective-free, so rep-checking adds nothing
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -247,12 +247,19 @@ class Pipeline:
                 def encode_fused(variables, images):
                     return fused_encode(model, variables, images)
 
-                state = {"fn": encode_fused}
+                state = {"fn": encode_fused, "validated": False}
 
                 def encode_with_fallback(variables, images):
                     try:
-                        return state["fn"](variables, images)
-                    except Exception:  # Mosaic lowering regression -> XLA path
+                        out = state["fn"](variables, images)
+                        if not state["validated"] and state["fn"] is encode_fused:
+                            # force execution once: on an async backend a
+                            # runtime kernel fault only surfaces at a sync, so
+                            # without this the except below would never fire
+                            np.asarray(jax.tree.leaves(out)[0])
+                            state["validated"] = True
+                        return out
+                    except Exception:  # Mosaic lowering/runtime fault -> XLA path
                         if state["fn"] is encode:
                             raise
                         state["fn"] = encode
@@ -261,6 +268,20 @@ class Pipeline:
                 return encode_with_fallback
 
         return encode
+
+    def _sharded_beam_search(self, beam_n: int):
+        """Per-beam-width cache of the shard_mapped fused beam-search engine."""
+        cache = self.__dict__.setdefault("_sharded_beam_cache", {})
+        if beam_n not in cache:
+            from ..parallel.train import make_sharded_beam_search
+
+            cache[beam_n] = make_sharded_beam_search(
+                self.mesh, self.transformer,
+                beam_n=beam_n, max_len=self.max_seq_len,
+                start_token=self.start_token, end_token=self.end_token,
+                fused=True,
+            )
+        return cache[beam_n]
 
     def predict_batch(self, images, beam_n: int | None = None):
         """Caption a batch of images. ``images``: (B, S, S, 3) in [-1, 1].
@@ -277,21 +298,27 @@ class Pipeline:
             images, pad = self._pad_batch(np.asarray(images))
         enc = self._encode(self.variables, jnp.asarray(images))
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
-        # reference's degenerate tie-breaking reproduced bit-exactly in f32;
-        # and under a mesh, where the sharded-beam-search path owns decode —
-        # GSPMD can't partition the hand-written kernel)
+        # reference's degenerate tie-breaking reproduced bit-exactly in f32).
+        # Under a mesh the fused kernel runs batch-sharded through shard_map —
+        # GSPMD can't partition the hand-written kernel, but beam search is
+        # batch-parallel by construction, so each device runs it whole on its
+        # local shard (parallel/train.py:make_sharded_beam_search).
         fused = (
             cfg.use_pallas
             and not cfg.beam_parity_mode
-            and self.mesh is None
             and jax.default_backend() == "tpu"
         )
-        seqs, lengths, _scores = beam_search(
-            self.transformer, self.variables, enc,
-            beam_n=beam_n, max_len=self.max_seq_len,
-            start_token=self.start_token, end_token=self.end_token,
-            parity=cfg.beam_parity_mode, fused=fused,
-        )
+        if self.mesh is not None and fused:
+            seqs, lengths, _scores = self._sharded_beam_search(beam_n)(
+                self.variables, enc
+            )
+        else:
+            seqs, lengths, _scores = beam_search(
+                self.transformer, self.variables, enc,
+                beam_n=beam_n, max_len=self.max_seq_len,
+                start_token=self.start_token, end_token=self.end_token,
+                parity=cfg.beam_parity_mode, fused=fused,
+            )
         seqs, lengths = np.asarray(seqs), np.asarray(lengths)
         if pad:
             seqs, lengths = seqs[:n_real], lengths[:n_real]
@@ -322,9 +349,13 @@ class Pipeline:
         )
         return seq, {k: np.asarray(v) for k, v in attention.items()}
 
-    def _to_caption(self, seq_row, length) -> str:
+    def to_caption(self, seq_row, length) -> str:
+        """Detokenize one decoded row (first ``length`` tokens) to a caption."""
         tokens = [int(t) for t in seq_row[:length]]
         return self.tokenizer.sequences_to_texts([tokens])[0]
+
+    # backwards-compatible alias (pre-round-3 name)
+    _to_caption = to_caption
 
     def evaluate(self, generator, max_seq_len: int | None = None):
         """Caption every (img, imgId) from the generator. Accepts either the
@@ -340,20 +371,20 @@ class Pipeline:
                 seqs, lengths = self.predict_batch(imgs)
                 for i in range(valid):
                     results.append(
-                        {"image_id": img_ids[i], "caption": self._to_caption(seqs[i], lengths[i])}
+                        {"image_id": img_ids[i], "caption": self.to_caption(seqs[i], lengths[i])}
                     )
             return results
         for img, imgId in generator:
             seqs, lengths = self.predict_batch(np.asarray(img)[None])
             results.append(
-                {"image_id": imgId, "caption": self._to_caption(seqs[0], lengths[0])}
+                {"image_id": imgId, "caption": self.to_caption(seqs[0], lengths[0])}
             )
         return results
 
     def evaluate_img(self, img, max_seq_len: int | None = None):
         """Single-image result list (reference ``pipeline.py:177-194``)."""
         seqs, lengths = self.predict_batch(np.asarray(img)[None])
-        return [{"image_id": 0, "caption": self._to_caption(seqs[0], lengths[0])}]
+        return [{"image_id": 0, "caption": self.to_caption(seqs[0], lengths[0])}]
 
     # ------------------------------------------------------------------
     def close(self) -> None:

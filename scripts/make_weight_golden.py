@@ -1,0 +1,117 @@
+"""Capture the MobileNetV2 weight-import golden fixture from real Keras.
+
+VERDICT r2 #4: the TF→JAX ``.h5`` import (utils/weight_import.py) was
+mapping-tested against synthetic files only — nothing verified that the
+imported Flax modules reproduce Keras' *activations* (BatchNorm variance
+conventions, depthwise-kernel transpose, stride-2 padding alignment could all
+be silently wrong). This script builds ``keras.applications.MobileNetV2``
+(alpha=0.35, 96² input, random-but-deterministic weights — the pretrained COCO
+h5 of ``/root/reference/models/retinanet.py:277-278`` is not downloadable
+offline, and conventions don't depend on weight values), exports the weights
+in the legacy Keras ``save_weights`` HDF5 layout the importer reads, runs the
+model on a fixed input, and stores the C3/C4/C5 tap activations
+(``block_5_add`` / ``block_12_add`` / ``out_relu`` — the taps the reference
+uses, ``/root/reference/models/mobilenet.py:64-66``).
+
+Outputs (committed as test fixtures):
+  tests/golden/mobilenet_v2_a035.h5          — legacy-layout weights
+  tests/golden/mobilenet_v2_a035_golden.npz  — input + C3/C4/C5 activations
+
+Run: ``python scripts/make_weight_golden.py`` (imports TensorFlow — slow).
+The consuming test is tests/test_weight_import.py::test_imported_backbone_matches_keras_activations.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_DIR = os.path.join(REPO, "tests", "golden")
+IMG, ALPHA = 96, 0.35
+TAPS = ("block_5_add", "block_12_add", "out_relu")
+
+
+def legacy_weight_names(layer) -> list[str]:
+    """Weight dataset names in the legacy save_weights layout, per layer type."""
+    cls = type(layer).__name__
+    if cls == "DepthwiseConv2D":
+        names = ["depthwise_kernel:0", "bias:0"]
+    elif cls == "Conv2D":
+        names = ["kernel:0", "bias:0"]
+    elif cls == "BatchNormalization":
+        names = ["gamma:0", "beta:0", "moving_mean:0", "moving_variance:0"]
+    else:
+        raise ValueError(f"unexpected weighted layer type {cls} ({layer.name})")
+    return names[: len(layer.get_weights())]
+
+
+def write_legacy_h5(path: str, layers: dict[str, dict[str, np.ndarray]]) -> None:
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n in layers])
+        for lname, weights in layers.items():
+            g = f.create_group(lname)
+            wnames = []
+            for wn, arr in weights.items():
+                full = f"{lname}/{wn}"
+                g.create_dataset(full, data=arr)
+                wnames.append(full.encode())
+            g.attrs["weight_names"] = np.array(wnames)
+
+
+def main() -> None:
+    from tensorflow import keras
+
+    model = keras.applications.MobileNetV2(
+        input_shape=(IMG, IMG, 3), alpha=ALPHA, include_top=False, weights=None
+    )
+
+    rng = np.random.default_rng(0)
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        names = legacy_weight_names(layer)
+        new = []
+        for name, w in zip(names, ws):
+            if name == "moving_variance:0":
+                val = rng.uniform(0.5, 1.5, w.shape)
+            elif name == "gamma:0":
+                val = rng.uniform(0.8, 1.2, w.shape)
+            elif name in ("beta:0", "moving_mean:0", "bias:0"):
+                val = rng.normal(0.0, 0.1, w.shape)
+            else:  # conv kernels
+                val = rng.standard_normal(w.shape) * 0.08
+            new.append(val.astype(np.float32))
+        layer.set_weights(new)
+
+    x = (rng.standard_normal((2, IMG, IMG, 3)) * 0.6).astype(np.float32)
+    tap_model = keras.Model(
+        model.input, [model.get_layer(n).output for n in TAPS]
+    )
+    c3, c4, c5 = [np.asarray(t) for t in tap_model(x, training=False)]
+
+    layers = {}
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if ws:
+            layers[layer.name] = dict(zip(legacy_weight_names(layer), ws))
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    write_legacy_h5(os.path.join(OUT_DIR, "mobilenet_v2_a035.h5"), layers)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "mobilenet_v2_a035_golden.npz"),
+        x=x, C3=c3, C4=c4, C5=c5, alpha=ALPHA, image_size=IMG,
+    )
+    print(f"wrote {OUT_DIR}: h5 layers={len(layers)} "
+          f"C3{c3.shape} C4{c4.shape} C5{c5.shape}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -176,3 +176,83 @@ def test_rouge_matches_independent_reimplementation():
     theirs = rouge_l_reference(hyps, refs)
     assert ours == pytest.approx(theirs, rel=1e-12)
     assert 0.0 < ours < 1.0
+
+
+# ---------------------------------------------------------------------------
+# METEOR (VERDICT r2 #3): quantify the approximation.
+# The reference scores METEOR through pycocoevalcap's Java METEOR-1.5 jar
+# (/root/reference/dataset.py:277-298), which cannot run here (no Java, no
+# jar, no WordNet/paraphrase data, zero egress). nltk ships an INDEPENDENT
+# implementation of the same Banerjee & Lavie (2005) algorithm with a
+# pluggable wordnet; with an empty wordnet its matcher reduces to the
+# exact + Porter-stem stages — precisely the modules the package scorer
+# implements. Agreement there validates the alignment / chunk / fragmentation
+# machinery exactly; the residual (unmeasurable offline) delta vs the Java
+# jar is the WordNet-synonym + paraphrase modules and METEOR-1.5's retuned
+# parameters, documented in data/metrics/meteor.py.
+# ---------------------------------------------------------------------------
+class _EmptyWordnet:
+    """WordNet stand-in with no synonym knowledge (nltk duck-types `.synsets`)."""
+
+    def synsets(self, word):
+        return []
+
+
+def test_meteor_pair_matches_nltk_exactly_on_distinct_words():
+    """When a caption has no repeated surface forms the unigram alignment is
+    unique, so the two independent implementations must agree EXACTLY — this
+    validates the match machinery, chunk counting, F-mean, and fragmentation
+    penalty formulas bit-for-bit."""
+    from nltk.translate.meteor_score import meteor_score
+
+    from fpn_mt_image_captioning_tpu.data.metrics.meteor import _score_pair
+
+    wn = _EmptyWordnet()
+    rng = random.Random(0)
+    base = "a b c d e f g h i j".split()
+    vocab = base + [v + v for v in base] + [v + "x" for v in base]
+    for _ in range(300):
+        hyp = rng.sample(vocab, rng.randint(3, 10))
+        ref = rng.sample(vocab, rng.randint(3, 10))
+        ours = _score_pair(hyp, ref)
+        theirs = meteor_score([ref], hyp, wordnet=wn)
+        assert ours == pytest.approx(theirs, abs=1e-12), (hyp, ref)
+
+
+def test_meteor_corpus_delta_vs_nltk_bounded():
+    """With repeated words the greedy alignment direction differs (ours:
+    leftmost; nltk: rightmost) — match COUNTS are identical, only the chunk
+    tie-break can diverge. Bound the resulting corpus-level delta: measured
+    0.0011 on the realistic caption corpus (mean 0.024 per-pair on a
+    pathological 10-word-vocabulary stress set)."""
+    from nltk.translate.meteor_score import meteor_score
+
+    from fpn_mt_image_captioning_tpu.data.metrics.meteor import meteor
+
+    wn = _EmptyWordnet()
+    hyps, refs = make_corpus(n_images=50, seed=3)
+    ours = meteor(hyps, refs)
+    theirs = sum(
+        max(meteor_score([r], hyps[i][0], wordnet=wn) for r in refs[i])
+        for i in hyps
+    ) / len(hyps)
+    assert abs(ours - theirs) < 0.005
+    assert 0.0 < ours <= 1.0
+
+
+def test_meteor_stress_delta_vs_nltk_bounded():
+    """Duplicate-heavy stress set: the per-pair delta from alignment tie-breaks
+    stays small in the mean (measured 0.024)."""
+    from nltk.translate.meteor_score import meteor_score
+
+    from fpn_mt_image_captioning_tpu.data.metrics.meteor import _score_pair
+
+    wn = _EmptyWordnet()
+    rng = random.Random(0)
+    vocab = "a b c d e f g h i j".split()
+    diffs = []
+    for _ in range(300):
+        hyp = [rng.choice(vocab) for _ in range(rng.randint(3, 14))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(3, 14))]
+        diffs.append(abs(_score_pair(hyp, ref) - meteor_score([ref], hyp, wordnet=wn)))
+    assert sum(diffs) / len(diffs) < 0.05

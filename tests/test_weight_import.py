@@ -116,6 +116,57 @@ def test_import_maps_backbone_fpn_and_trunks(variables, tmp_path, np_rng):
     )
 
 
+def test_imported_backbone_matches_keras_activations():
+    """VERDICT r2 #4 — activation-level golden: weights captured from a REAL
+    ``keras.applications.MobileNetV2`` (alpha=0.35, random deterministic
+    values; scripts/make_weight_golden.py) imported through the h5 mapper must
+    reproduce Keras' C3/C4/C5 tap activations (``block_5_add`` /
+    ``block_12_add`` / ``out_relu`` — the taps the reference uses,
+    ``/root/reference/models/mobilenet.py:64-66``). Catches BatchNorm
+    variance/epsilon conventions, the depthwise-kernel transpose, and stride-2
+    SAME-padding alignment — errors invisible to shape-mapping tests."""
+    import os
+
+    from fpn_mt_image_captioning_tpu.models.backbones.mobilenet_v2 import (
+        MobileNetV2Backbone,
+    )
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    golden = np.load(os.path.join(golden_dir, "mobilenet_v2_a035_golden.npz"))
+    x = jnp.asarray(golden["x"])
+
+    backbone = MobileNetV2Backbone(alpha=float(golden["alpha"]))
+    variables = backbone.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    # wrap in the encoder/feature_extractor nesting the importer expects;
+    # FPN/trunk entries are absent in a backbone-only h5 and must be
+    # tolerated as "missed"
+    nested = {
+        "params": {"encoder": {"feature_extractor": {
+            "backbone": variables["params"], "fpn": {},
+        }}},
+        "batch_stats": {"encoder": {"feature_extractor": {
+            "backbone": variables["batch_stats"],
+        }}},
+    }
+    new_vars, report = import_retinanet_weights(
+        nested, os.path.join(golden_dir, "mobilenet_v2_a035.h5")
+    )
+    # every backbone conv + BN quadruple must land (52 weighted keras layers
+    # → ≥150 matched leaves); nothing may be dropped for shape mismatch
+    assert len(report.matched) >= 150
+    assert not any("shape" in m for m in report.missed), report.missed[:5]
+
+    fe = new_vars["params"]["encoder"]["feature_extractor"]
+    fe_s = new_vars["batch_stats"]["encoder"]["feature_extractor"]
+    c3, c4, c5 = backbone.apply(
+        {"params": fe["backbone"], "batch_stats": fe_s["backbone"]}, x, train=False
+    )
+    np.testing.assert_allclose(np.asarray(c3), golden["C3"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(c4), golden["C4"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(c5), golden["C5"], atol=2e-4, rtol=1e-3)
+
+
 def test_import_shape_mismatch_is_reported_not_fatal(variables, tmp_path, np_rng):
     layers = {
         "Conv1": {"kernel:0": np_rng.standard_normal((3, 3, 3, 99)).astype(np.float32)},
