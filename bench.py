@@ -116,8 +116,19 @@ def slope_ms(run, images, k):
 
 
 def _flag_value(name, default):
-    if name in sys.argv:
-        return int(sys.argv[sys.argv.index(name) + 1])
+    """Accept both ``--vocab 10000`` and ``--vocab=10000``; a malformed or
+    missing value aborts with a usage message instead of a traceback (the
+    headline must never be lost to flag parsing)."""
+    for i, arg in enumerate(sys.argv):
+        if arg == name:
+            if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+                raise SystemExit(f"usage: {name} N (or {name}=N)")
+            return int(sys.argv[i + 1])
+        if arg.startswith(name + "="):
+            value = arg.split("=", 1)[1]
+            if not value.isdigit():
+                raise SystemExit(f"usage: {name} N (or {name}=N)")
+            return int(value)
     return default
 
 
@@ -143,7 +154,8 @@ def main():
     else:
         image_size, max_len, dims = 512, 60, (6, 512, 2048, 8)
         vocab = _flag_value("--vocab", 2000)
-        batch, beam, k, dtype = 64, 8, 8, "bfloat16"
+        batch = _flag_value("--batch", 64)
+        beam, k, dtype = 8, 8, "bfloat16"
 
     from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
 

@@ -17,6 +17,7 @@ Writes a JSON list of {"file", "caption"} and prints throughput.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -74,7 +75,9 @@ def measure_latency(pipeline, files, image_size: int, n: int) -> dict:
         "unit": "ms",
         "n": n,
         "p50_ms": round(times[len(times) // 2], 2),
-        "p90_ms": round(times[int(len(times) * 0.9)], 2),
+        # nearest-rank percentile: index ceil(0.9n)-1 (int(0.9n) overstates
+        # for small n — it reports the max of 10 samples as "p90")
+        "p90_ms": round(times[max(math.ceil(0.9 * len(times)) - 1, 0)], 2),
         "min_ms": round(times[0], 2),
     }
 
@@ -156,15 +159,22 @@ def main(
             print(json.dumps(
                 measure_latency(pipeline, files, cfg.image_input_size, latency_n)
             ))
+
+        # write INSIDE the try: a failure in the finally-block cleanup
+        # (e.g. the checkpoint manager surfacing a background-thread error at
+        # close) must not lose fully-computed results
+        _write_results(results, out_path, cfg)
     except BaseException:
         if results:  # partial results are still worth persisting
-            _write_results(results, out_path, cfg)
+            try:
+                _write_results(results, out_path, cfg)
+            except Exception as write_err:  # never mask the root cause
+                print(f"failed to write partial results: {write_err}", file=sys.stderr)
         raise
     finally:
         prefetcher.shutdown(wait=False, cancel_futures=True)
         pipeline.close()
 
-    _write_results(results, out_path, cfg)
     return results
 
 

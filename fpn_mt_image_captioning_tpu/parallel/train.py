@@ -26,13 +26,16 @@ from .mesh import data_sharding, param_shardings, replicated
 __all__ = [
     "make_sharded_train_step",
     "shard_state",
+    "state_shardings",
     "make_sharded_decode_encode",
     "make_sharded_beam_search",
 ]
 
 
-def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainState, Any]:
-    """Device_put the TrainState according to mesh rules; returns (state, shardings)."""
+def state_shardings(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainState:
+    """TrainState-shaped tree of NamedShardings for the mesh rules. ``state``
+    leaves may be real arrays OR ShapeDtypeStructs (only shape/ndim are read),
+    so AOT compile checks share this exact rule with the training path."""
     from .mesh import _path_str, param_spec
 
     p_shard = param_shardings(mesh, state.params, tp=tp)
@@ -49,7 +52,12 @@ def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainSt
     opt_shardings = jax.tree_util.tree_map_with_path(opt_shard, state.opt_state)
     # batch_stats replicated (the conv trunk is replicated)
     bs_shardings = jax.tree.map(lambda _: rep, state.batch_stats)
-    shardings = TrainState(p_shard, bs_shardings, opt_shardings, rep)
+    return TrainState(p_shard, bs_shardings, opt_shardings, rep)
+
+
+def shard_state(mesh: Mesh, state: TrainState, tp: bool = True) -> tuple[TrainState, Any]:
+    """Device_put the TrainState according to mesh rules; returns (state, shardings)."""
+    shardings = state_shardings(mesh, state, tp=tp)
     placed = jax.device_put(state, shardings)
     return placed, shardings
 

@@ -37,7 +37,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["load_keras_h5", "import_retinanet_weights", "ImportReport"]
+__all__ = ["load_keras_h5", "write_keras_h5", "import_retinanet_weights", "ImportReport"]
 
 # Keras MobileNetV2 flat block index → (group, block-in-group) for
 # _BLOCK_CONFIG in models/backbones/mobilenet_v2.py
@@ -86,6 +86,26 @@ def load_keras_h5(path: str) -> dict[str, dict[str, np.ndarray]]:
 
         visit(root)
     return out
+
+
+def write_keras_h5(path: str, layers: dict[str, dict[str, np.ndarray]]) -> None:
+    """Write {layer_name: {weight_name: array}} in the legacy Keras
+    ``save_weights`` HDF5 layout ``load_keras_h5`` reads (layer groups with
+    ``layer_names``/``weight_names`` attrs). Inverse of ``load_keras_h5``;
+    used by the golden-fixture capture (scripts/make_weight_golden.py) and the
+    synthetic-layout tests."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n in layers])
+        for lname, weights in layers.items():
+            g = f.create_group(lname)
+            wnames = []
+            for wn, arr in weights.items():
+                full = f"{lname}/{wn}"
+                g.create_dataset(full, data=arr)
+                wnames.append(full.encode())
+            g.attrs["weight_names"] = np.array(wnames)
 
 
 def _set(tree: dict, path: list[str], value: np.ndarray, report: ImportReport,

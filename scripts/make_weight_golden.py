@@ -31,6 +31,9 @@ import numpy as np
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from fpn_mt_image_captioning_tpu.utils.weight_import import write_keras_h5  # noqa: E402
 OUT_DIR = os.path.join(REPO, "tests", "golden")
 IMG, ALPHA = 96, 0.35
 TAPS = ("block_5_add", "block_12_add", "out_relu")
@@ -48,21 +51,6 @@ def legacy_weight_names(layer) -> list[str]:
     else:
         raise ValueError(f"unexpected weighted layer type {cls} ({layer.name})")
     return names[: len(layer.get_weights())]
-
-
-def write_legacy_h5(path: str, layers: dict[str, dict[str, np.ndarray]]) -> None:
-    import h5py
-
-    with h5py.File(path, "w") as f:
-        f.attrs["layer_names"] = np.array([n.encode() for n in layers])
-        for lname, weights in layers.items():
-            g = f.create_group(lname)
-            wnames = []
-            for wn, arr in weights.items():
-                full = f"{lname}/{wn}"
-                g.create_dataset(full, data=arr)
-                wnames.append(full.encode())
-            g.attrs["weight_names"] = np.array(wnames)
 
 
 def main() -> None:
@@ -104,7 +92,7 @@ def main() -> None:
             layers[layer.name] = dict(zip(legacy_weight_names(layer), ws))
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    write_legacy_h5(os.path.join(OUT_DIR, "mobilenet_v2_a035.h5"), layers)
+    write_keras_h5(os.path.join(OUT_DIR, "mobilenet_v2_a035.h5"), layers)
     np.savez_compressed(
         os.path.join(OUT_DIR, "mobilenet_v2_a035_golden.npz"),
         x=x, C3=c3, C4=c4, C5=c5, alpha=ALPHA, image_size=IMG,

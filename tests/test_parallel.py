@@ -143,12 +143,11 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
     no weights are materialized and nothing executes."""
     from fpn_mt_image_captioning_tpu.models.positional import create_masks
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
-    from fpn_mt_image_captioning_tpu.parallel.mesh import (
-        data_sharding,
-        param_shardings,
-        replicated,
+    from fpn_mt_image_captioning_tpu.parallel.mesh import data_sharding
+    from fpn_mt_image_captioning_tpu.parallel.train import (
+        make_sharded_train_step,
+        state_shardings,
     )
-    from fpn_mt_image_captioning_tpu.parallel.train import make_sharded_train_step
     from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
     from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule, make_optimizer
 
@@ -176,7 +175,6 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
     optimizer = make_optimizer(custom_schedule(2048, 4000))
     opt_shapes = jax.eval_shape(optimizer.init, var_shapes["params"])
 
-    p_shard = param_shardings(mesh, var_shapes["params"], tp=True)
     # at these dims every TP rule must actually engage (no silent replication
     # fallback from non-divisible dims)
     dec0 = var_shapes["params"]["decoder"]["layer_0"]
@@ -186,32 +184,18 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
                       var_shapes["params"]["final_layer"]["kernel"], True, mesh
                       ) == P(None, "model")
 
-    rep = replicated(mesh)
-
-    def spec_like(shardings, shapes):
-        return jax.tree.map(
-            lambda sh, s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
-            shardings, shapes,
-        )
-
-    from fpn_mt_image_captioning_tpu.parallel.mesh import _path_str, param_spec as pspec
-    from jax.sharding import NamedSharding
-
-    opt_shardings = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: rep if getattr(leaf, "ndim", 0) == 0
-        else NamedSharding(mesh, pspec(_path_str(path), leaf, True, mesh)),
-        opt_shapes,
-    )
-    bs_shardings = jax.tree.map(lambda _: rep, var_shapes.get("batch_stats", {}))
-    state_shardings = TrainState(p_shard, bs_shardings, opt_shardings, rep)
+    # the SAME sharding rule the real training path uses (parallel/train.py)
     state_shapes = TrainState(
-        spec_like(p_shard, var_shapes["params"]),
-        spec_like(bs_shardings, var_shapes.get("batch_stats", {})),
-        spec_like(opt_shardings, opt_shapes),
-        jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+        var_shapes["params"], var_shapes.get("batch_stats", {}),
+        opt_shapes, jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    shardings = state_shardings(mesh, state_shapes, tp=True)
+    state_shapes = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_shapes, shardings,
     )
 
-    step = make_sharded_train_step(mesh, model, optimizer, state_shardings)
+    step = make_sharded_train_step(mesh, model, optimizer, shardings)
     compiled = step.lower(
         state_shapes,
         jax.ShapeDtypeStruct(img.shape, img.dtype, sharding=data_sharding(mesh, 4)),
@@ -225,7 +209,12 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
     enc = jax.ShapeDtypeStruct(
         (batch, 16, 512), jnp.float32, sharding=data_sharding(mesh, 3)
     )
-    var_arg_shapes = spec_like(jax.tree.map(lambda _: rep, var_shapes), var_shapes)
+    from fpn_mt_image_captioning_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    var_arg_shapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep), var_shapes
+    )
     decode = jax.jit(
         lambda v, e: beam_search(
             model, v, e, beam_n=8, max_len=seq,

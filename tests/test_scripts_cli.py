@@ -93,6 +93,30 @@ def test_caption_serving_cli(workspace):
     assert "img/s end-to-end" in r.stdout
 
 
+@pytest.mark.slow
+def test_caption_latency_flag(workspace):
+    """`--latency=N` reports end-to-end single-request percentiles (the honest
+    request-latency row — bench.py's batch-1 slope is device compute only)."""
+    if not (workspace / "datasets/_tokenizer.json").exists():
+        r0 = run_script("train.py", COMMON, cwd=workspace)
+        assert r0.returncode == 0, r0.stderr[-3000:]
+    img_dir = workspace / "data/images/train2017"
+    r = run_script(
+        "caption.py",
+        [f"--images={img_dir}", "--out=results/serve_lat.json", "--latency=3",
+         *COMMON],
+        cwd=workspace,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = next(
+        l for l in r.stdout.splitlines()
+        if l.startswith("{") and "end-to-end single-request latency" in l
+    )
+    stats = json.loads(line)
+    assert stats["n"] == 3
+    assert 0 < stats["min_ms"] <= stats["p50_ms"] <= stats["p90_ms"]
+
+
 def test_convert_dataset_cli(tmp_path):
     from fixtures import make_iuxray_raw
 

@@ -11,21 +11,10 @@ import jax.numpy as jnp
 
 from fpn_mt_image_captioning_tpu.models.transformer import Transformer
 from fpn_mt_image_captioning_tpu.models.positional import create_masks
-from fpn_mt_image_captioning_tpu.utils.weight_import import import_retinanet_weights
-
-
-def write_keras_h5(path, layers: dict[str, dict[str, np.ndarray]]):
-    """Emulates Keras save_weights layout: layer groups + attrs."""
-    with h5py.File(path, "w") as f:
-        f.attrs["layer_names"] = np.array([n.encode() for n in layers])
-        for lname, weights in layers.items():
-            g = f.create_group(lname)
-            wnames = []
-            for wn, arr in weights.items():
-                full = f"{lname}/{wn}"
-                g.create_dataset(full, data=arr)
-                wnames.append(full.encode())
-            g.attrs["weight_names"] = np.array(wnames)
+from fpn_mt_image_captioning_tpu.utils.weight_import import (
+    import_retinanet_weights,
+    write_keras_h5,
+)
 
 
 @pytest.fixture(scope="module")
