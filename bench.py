@@ -29,6 +29,8 @@ Optional extra passes, each printed as its OWN labeled JSON line afterwards:
             cancels by construction; see caption.py --latency for the
             end-to-end single-request number)
   --tiny    CPU-safe miniature for smoke-testing the bench path
+  --train   training images/sec via the same on-device slope method
+            (--train-batch N, --train-rounds K)
   --fused-backbone  opt-in Pallas backbone (measured slower than XLA)
 Set ``BENCH_BUDGET_S`` to cap optional passes (the headline always runs).
 """
@@ -115,6 +117,20 @@ def slope_ms(run, images, k):
     return max((t2 - t1) / k, 1e-9) * 1000
 
 
+def train_slope(model, variables, max_len, k, batch, image_size, vocab, dff):
+    """Training throughput via the same on-device slope method as serving.
+    Delegates to ``utils.profiling.train_step_slope`` (also the engine behind
+    ``benchmarks/train_throughput.py``); parameters stay float32 — the model's
+    compute dtype provides the bf16 mixed precision."""
+    from fpn_mt_image_captioning_tpu.utils.profiling import train_step_slope
+
+    r = train_step_slope(
+        model, variables, batch=batch, seq_len=max_len, image_size=image_size,
+        vocab=vocab, k=k, schedule_dim=dff, seed=1,
+    )
+    return r["images_per_sec"], r["step_ms"], r["batch"]
+
+
 def _flag_value(name, default):
     """Accept both ``--vocab 10000`` and ``--vocab=10000``; a malformed or
     missing value aborts with a usage message instead of a traceback (the
@@ -160,6 +176,7 @@ def main():
     from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
 
     model, variables = build(image_size, vocab, max_len, dims, dtype)
+    variables_f32 = variables  # --train keeps f32 params (mixed precision)
     if dtype == "bfloat16":
         variables = cast_for_inference(variables)
 
@@ -215,6 +232,18 @@ def main():
     # ---- optional passes (flag-gated; never before the headline print) ----
     def budget_left() -> bool:
         return not budget_s or (time.monotonic() - t_start) < budget_s
+
+    if "--train" in sys.argv and budget_left():
+        tput, step_ms, tbatch = train_slope(
+            model, variables_f32, max_len, k=_flag_value("--train-rounds", 16),
+            batch=_flag_value("--train-batch", 32), image_size=image_size,
+            vocab=vocab, dff=dims[2],
+        )
+        print(json.dumps({
+            "metric": "training images/sec/chip",
+            "value": round(tput, 2), "unit": "img/s",
+            "step_ms": round(step_ms, 2), "batch": tbatch,
+        }), flush=True)
 
     if "--p50" in sys.argv and budget_left():
         # single-image DEVICE-ONLY latency (slope at batch 1: dispatch and host

@@ -19,7 +19,10 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["trace", "annotate", "StepTimer", "sync"]
+__all__ = [
+    "trace", "annotate", "StepTimer", "sync", "train_step_slope",
+    "build_train_run",
+]
 
 
 def sync(tree: Any) -> None:
@@ -29,6 +32,135 @@ def sync(tree: Any) -> None:
     leaves = jax.tree.leaves(tree)
     if leaves:
         np.asarray(leaves[0])
+
+
+def train_step_slope(
+    model: Any,
+    variables: dict,
+    *,
+    batch: int,
+    seq_len: int,
+    image_size: int,
+    vocab: int,
+    k: int,
+    schedule_dim: int = 2048,
+    seed: int = 0,
+) -> dict:
+    """Slope-measured teacher-forced training throughput (images/sec/chip).
+
+    Runs K and 2K full optimizer steps (fwd + bwd + AMSGrad update, per-step
+    dropout keys folded from the step counter exactly as
+    ``train/pipeline.py``'s real step does) back-to-back ON DEVICE inside one
+    jit — a ``lax.fori_loop`` carrying the whole ``TrainState`` and
+    accumulating the loss so XLA cannot elide any step — and reports
+    ``(t(2K) − t(K)) / K``: tunnel latency and dispatch cancel exactly
+    (bench.py documents the method; host-side per-step timing measures the
+    ~30 ms/sync tunnel RTT instead of the chip).
+
+    ``variables`` must be float32 (the model's compute dtype provides the
+    bf16 mixed precision); ``schedule_dim`` defaults to ``dff=2048`` to match
+    the reference's ``CustomSchedule(dff)`` quirk (the LR value is irrelevant
+    to throughput, but the update arithmetic should match production).
+    Shared by ``bench.py --train`` and ``benchmarks/train_throughput.py``.
+    """
+    import jax.numpy as jnp
+
+    run, state, img, caps = build_train_run(
+        model, variables, batch=batch, seq_len=seq_len, image_size=image_size,
+        vocab=vocab, schedule_dim=schedule_dim, seed=seed,
+    )
+
+    def t(n):
+        t0 = time.perf_counter()
+        _, acc = run(state, img, caps, jnp.int32(n))
+        np.asarray(acc)  # sync (block_until_ready unreliable on tunnel)
+        return time.perf_counter() - t0
+
+    t(1)  # warm / compile
+    t1, t2 = t(k), t(2 * k)
+    step_ms = max((t2 - t1) / k, 1e-9) * 1000
+    return {
+        "images_per_sec": round(batch / (step_ms / 1000), 2),
+        "step_ms": round(step_ms, 2),
+        "batch": batch,
+    }
+
+
+def build_train_run(
+    model: Any,
+    variables: dict,
+    *,
+    batch: int,
+    seq_len: int,
+    image_size: int,
+    vocab: int,
+    schedule_dim: int = 2048,
+    seed: int = 0,
+):
+    """Build the jitted n-step training runner used by ``train_step_slope``.
+
+    Returns ``(run, state, img, caps)`` where ``run(state, img, caps, n)``
+    executes n optimizer steps on device and returns ``(final_step,
+    loss_sum)``.  The loss sum is a REQUIRED output: it makes every step's
+    parameter chain live, so XLA's while-loop dead-code elimination cannot
+    strip the gradient/update work and time an empty counter loop.  Exposed
+    separately so tests can ``jax.jit(...).lower()`` the runner (trace-only —
+    XLA:CPU takes >10 min to actually compile the fwd+bwd loop even at micro
+    dims)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.positional import create_masks
+    from ..train.losses import masked_sparse_ce
+    from ..train.pipeline import TrainState
+    from ..train.schedule import custom_schedule, make_optimizer
+
+    optimizer = make_optimizer(custom_schedule(schedule_dim, 4000))
+    state = TrainState(
+        variables["params"], variables.get("batch_stats", {}),
+        optimizer.init(variables["params"]), jnp.int32(0),
+    )
+
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(
+        rng.standard_normal((batch, image_size, image_size, 3), dtype=np.float32) * 0.5
+    )
+    caps = jnp.asarray(
+        rng.integers(1, max(vocab - 1, 2), size=(batch, seq_len), dtype=np.int64),
+        jnp.int32,
+    )
+
+    @jax.jit
+    def run(state, img, caps, n):
+        tar_inp, tar_real = caps[:, :-1], caps[:, 1:]
+        mask = create_masks(tar_inp)
+
+        def loss_fn(params, batch_stats, dropout_rng):
+            (logits, _), mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img, tar_inp, True, mask,
+                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+            )
+            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
+
+        def body(_, carry):
+            st, acc = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(0), st.step)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st.params, st.batch_stats, key
+            )
+            updates, new_opt = optimizer.update(grads, st.opt_state, st.params)
+            st = TrainState(
+                optax.apply_updates(st.params, updates), new_bs, new_opt,
+                st.step + 1,
+            )
+            return st, acc + loss
+
+        st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return st.step, acc
+
+    return run, state, img, caps
 
 
 @contextlib.contextmanager

@@ -65,6 +65,42 @@ def test_step_timer():
     assert s["p50_ms"] >= 0
 
 
+def test_build_train_run_traces_and_keeps_loss_live():
+    """Trace (no XLA compile — that takes >10 min on CPU even at micro dims)
+    the shared training-throughput runner behind ``bench.py --train`` and
+    ``benchmarks/train_throughput.py``.  Asserts the runner (a) lowers cleanly
+    at micro dims and (b) returns the accumulated loss — the output that keeps
+    every step's parameter chain live so XLA's while-loop DCE cannot strip the
+    gradient work and time an empty counter loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.utils.profiling import build_train_run
+
+    model = Transformer(
+        num_layers=1, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=(256 // 16) ** 2, target_vocab_size=50,
+        max_seq_len=8, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    img1 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    tar1 = jnp.ones((1, 7), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, img1, tar1, True, create_masks(tar1)
+    )
+
+    run, state, img, caps = build_train_run(
+        model, variables, batch=2, seq_len=8, image_size=256, vocab=50,
+    )
+    lowered = run.lower(state, img, caps, jnp.int32(2))
+    step_shape, loss_shape = lowered.out_info
+    assert loss_shape.dtype == jnp.float32  # loss_sum output present
+    text = lowered.as_text()
+    assert "while" in text  # the n-step loop actually lowered
+
+
 def test_custom_schedule_golden_values():
     """Closed-form check of the modified-Noam schedule (reference utils.py:45-50)."""
     from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule

@@ -132,6 +132,47 @@ def test_convert_dataset_cli(tmp_path):
     assert len(ann["images"]) == 4  # 2 reports × 2 parent images
 
 
+@pytest.mark.slow
+def test_bench_tiny_headline_contract(tmp_path):
+    """Pin the driver-facing bench.py contract: the FIRST stdout line is the
+    headline JSON (round-2 postmortem: the driver saw rc=124 and no output
+    because a second compile ran before any print).  ``--tiny`` exercises the
+    same code path on CPU; ``--train``/``--p50`` are TPU measurement flags and
+    are exercised only on real hardware (XLA:CPU takes >10 min just to compile
+    the fwd+bwd fori_loop even at micro dims)."""
+    r = run_script("bench.py", ["--tiny"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert lines, "bench printed nothing"
+    headline = json.loads(lines[0])
+    assert headline["metric"] == "captioned images/sec/chip @ beam=8"
+    assert headline["value"] > 0
+    assert headline["unit"] == "img/s"
+    assert headline["vs_baseline"] == round(headline["value"] / 500.0, 4)
+    assert {"batch", "beam", "decode_steps", "vocab", "dtype"} <= set(headline)
+
+
+def test_bench_flag_value_errors():
+    """Malformed flag values must abort with a usage message, never lose the
+    headline to a traceback."""
+    import bench
+
+    old = sys.argv
+    try:
+        sys.argv = ["bench.py", "--vocab", "abc"]
+        with pytest.raises(SystemExit, match="usage"):
+            bench._flag_value("--vocab", 2000)
+        sys.argv = ["bench.py", "--vocab=1x"]
+        with pytest.raises(SystemExit, match="usage"):
+            bench._flag_value("--vocab", 2000)
+        sys.argv = ["bench.py", "--vocab=4000", "--batch", "32"]
+        assert bench._flag_value("--vocab", 2000) == 4000
+        assert bench._flag_value("--batch", 64) == 32
+        assert bench._flag_value("--p50-rounds", 7) == 7
+    finally:
+        sys.argv = old
+
+
 def test_tensorboard_event_file_roundtrip(tmp_path):
     """Validate the hand-rolled TFRecord/Event encoding by re-parsing it."""
     import struct
