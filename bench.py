@@ -48,6 +48,17 @@ import numpy as np
 
 
 def build(image_size, vocab, max_seq_len, dims, dtype):
+    """Build the flagship model and statistically-equivalent random variables.
+
+    Weights are materialized HOST-SIDE from ``jax.eval_shape`` of
+    ``model.init`` (kernels/embeddings ~ N(0, 0.02), biases 0, scales 1, BN
+    mean/var 0/1) instead of running ``model.init`` on the device: the init
+    program was a second large compile+load through the tunnel on every bench
+    run — the exact failure mode that cost round 2 its benchmark artifact —
+    while the ~240 MB parameter upload costs only seconds. The timed ``run``
+    program's HLO is unchanged (same shapes/dtypes), so existing compile-cache
+    entries stay valid; benchmark numerics are statistically identical (both
+    inits give near-uniform logits, so beam decode runs its full 60 steps)."""
     from fpn_mt_image_captioning_tpu.models.positional import create_masks
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
 
@@ -58,11 +69,28 @@ def build(image_size, vocab, max_seq_len, dims, dtype):
         max_seq_len=max_seq_len, dtype=jnp.dtype(dtype),
     )
     rng = jax.random.PRNGKey(0)
-    img = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    tar = jnp.ones((1, 4), jnp.int32)
-    variables = model.init(
-        {"params": rng, "dropout": rng}, img, tar, True, create_masks(tar)
+    img = jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32)
+    tar = jax.ShapeDtypeStruct((1, 4), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda r, i, t: model.init(r, i, t, True, create_masks(t)),
+        {"params": rng, "dropout": rng}, img, tar,
     )
+
+    nprng = np.random.default_rng(0)
+
+    def materialize(path, s):
+        names = [getattr(p, "key", "") for p in path]
+        if "batch_stats" in names:
+            value = np.ones(s.shape) if names[-1] == "var" else np.zeros(s.shape)
+        elif names[-1] in ("bias", "b"):
+            value = np.zeros(s.shape)
+        elif names[-1] == "scale":
+            value = np.ones(s.shape)
+        else:
+            value = nprng.standard_normal(s.shape) * 0.02
+        return jnp.asarray(value.astype(s.dtype))
+
+    variables = jax.tree_util.tree_map_with_path(materialize, shapes)
     return model, variables
 
 

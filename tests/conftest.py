@@ -23,8 +23,27 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
-# persistent compile cache makes repeated suite runs fast
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Persistent compile cache makes repeated suite runs fast. The directory is
+# fingerprinted by the host's CPU feature flags: XLA:CPU persists AOT-compiled
+# machine code whose cache key does NOT include the precise host features, so
+# an entry written on a different machine loads with a "could lead to
+# execution errors such as SIGILL" warning — and a full-suite run was observed
+# dying with SIGABRT mid-execution on such an entry. A feature-keyed directory
+# means a new machine starts cold instead of executing foreign code.
+import hashlib
+import platform
+
+_feats = platform.machine()
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith(("flags", "Features")):
+                _feats += _line
+                break
+except OSError:
+    pass
+_tag = hashlib.sha1(_feats.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
