@@ -30,7 +30,9 @@ Optional extra passes, each printed as its OWN labeled JSON line afterwards:
             end-to-end single-request number)
   --tiny    CPU-safe miniature for smoke-testing the bench path
   --train   training images/sec via the same on-device slope method
-            (--train-batch N, --train-rounds K)
+            (--train-batch N, --train-rounds K, --train-seq L — default 64,
+            the canonical benchmarks/train_throughput.py sequence length;
+            builds its own model so the program matches that benchmark's)
   --fused-backbone  opt-in Pallas backbone (measured slower than XLA)
 Set ``BENCH_BUDGET_S`` to cap optional passes (the headline always runs).
 """
@@ -81,14 +83,14 @@ def build(image_size, vocab, max_seq_len, dims, dtype):
     def materialize(path, s):
         names = [getattr(p, "key", "") for p in path]
         if "batch_stats" in names:
-            value = np.ones(s.shape) if names[-1] == "var" else np.zeros(s.shape)
-        elif names[-1] in ("bias", "b"):
-            value = np.zeros(s.shape)
+            value = (np.ones if names[-1] == "var" else np.zeros)(s.shape, s.dtype)
+        elif names[-1] in ("bias", "b", "bq", "bo", "kv_bias"):
+            value = np.zeros(s.shape, s.dtype)  # incl. attention.py's bq/bo
         elif names[-1] == "scale":
-            value = np.ones(s.shape)
+            value = np.ones(s.shape, s.dtype)
         else:
-            value = nprng.standard_normal(s.shape) * 0.02
-        return jnp.asarray(value.astype(s.dtype))
+            value = (nprng.standard_normal(s.shape, dtype=np.float32) * 0.02).astype(s.dtype)
+        return jnp.asarray(value)
 
     variables = jax.tree_util.tree_map_with_path(materialize, shapes)
     return model, variables
@@ -204,7 +206,6 @@ def main():
     from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
 
     model, variables = build(image_size, vocab, max_len, dims, dtype)
-    variables_f32 = variables  # --train keeps f32 params (mixed precision)
     if dtype == "bfloat16":
         variables = cast_for_inference(variables)
 
@@ -262,15 +263,22 @@ def main():
         return not budget_s or (time.monotonic() - t_start) < budget_s
 
     if "--train" in sys.argv and budget_left():
+        # the training pass uses the canonical training sequence length
+        # (benchmarks/train_throughput.py's seq=64, not the serving decode
+        # length), built as its OWN model so the jitted program is
+        # bit-identical to train_throughput.py's and shares its compile-cache
+        # entry; host-side init makes the second build cost seconds
+        train_seq = _flag_value("--train-seq", max_len if tiny else 64)
+        tmodel, tvars = build(image_size, vocab, train_seq, dims, dtype)
         tput, step_ms, tbatch = train_slope(
-            model, variables_f32, max_len, k=_flag_value("--train-rounds", 16),
+            tmodel, tvars, train_seq, k=_flag_value("--train-rounds", 16),
             batch=_flag_value("--train-batch", 32), image_size=image_size,
             vocab=vocab, dff=dims[2],
         )
         print(json.dumps({
             "metric": "training images/sec/chip",
             "value": round(tput, 2), "unit": "img/s",
-            "step_ms": round(step_ms, 2), "batch": tbatch,
+            "step_ms": round(step_ms, 2), "batch": tbatch, "seq_len": train_seq,
         }), flush=True)
 
     if "--p50" in sys.argv and budget_left():

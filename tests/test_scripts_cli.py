@@ -18,6 +18,13 @@ def run_script(script, args, cwd):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Point subprocesses (incl. bench.py, which defaults to the TPU-warm
+    # /tmp/jax_bench_cache) at the host-fingerprinted test cache: foreign
+    # machines' XLA:CPU AOT entries can SIGILL/SIGABRT (see conftest), and
+    # CPU test entries must not pollute the driver's warm bench cache.
+    import jax
+
+    env["JAX_COMPILATION_CACHE_DIR"] = jax.config.jax_compilation_cache_dir
     return subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
