@@ -206,6 +206,70 @@ def test_fused_manual_oh_path_matches_xla(rng):
         src_local = src_local.at[:, t + 1].set(own % beam)
 
 
+def test_fused_wide_vocab_scores_and_freeze(rng):
+    """Multi-lane-chunk vocabulary (Vp = 384 > 128) with NONZERO running
+    scores and a mix of finished/unfinished rows: the final cell's beam
+    freeze (finished rows collapse to column 0 at their carried score) and
+    the iterative top-k across several 128-lane chunks must match the XLA
+    formula exactly. The other unit tests pass zero scores / nothing
+    finished, leaving this path covered only by whole-engine parity tests."""
+    vocab = 300                     # round_up(300, 128) = 384 -> 3 lane chunks
+    model = Transformer(
+        num_layers=NL, d_model=D, num_heads=H, dff=DFF,
+        input_vocab_size=16, target_vocab_size=vocab, max_seq_len=MAX_LEN + 1,
+    )
+    enc = jax.random.normal(rng, (B, 4, D))
+    tar = jnp.ones((B, 4), dtype=jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, enc, tar, False, None)
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    lpad = round_up(MAX_LEN + 1, 8)
+
+    enc_tiled = jnp.repeat(enc, BEAM, axis=0)
+    xla_cache = model.apply(variables, enc_tiled, lpad, method=Transformer.init_cache)
+    fused_cache = init_fused_cache(packed, enc, BEAM, MAX_LEN)
+
+    emb_table = np.asarray(params["decoder"]["embedding"]["embedding"])
+    pe = raw_positional_encoding(MAX_LEN + 1, D)
+    own = jnp.arange(BK, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(own[:, None], (BK, lpad))
+    src_local = jnp.broadcast_to((own % BEAM)[:, None], (BK, lpad))
+
+    scores = jnp.asarray([[-1.5], [0.25], [-7.0], [3.5]], jnp.float32)
+    finished = jnp.asarray([[0.0], [1.0], [0.0], [1.0]], jnp.float32)
+
+    tokens = jax.random.randint(rng, (BK,), 1, vocab)
+    xla_logits, xla_cache = model.apply(
+        variables, tokens, jnp.int32(0), xla_cache, src_flat,
+        method=Transformer.decode_step,
+    )
+    x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[0])
+    topk = BEAM
+    top_s, top_i, fused_cache = fused_decode_step(
+        packed, fused_cache, x_emb, src_local.T, jnp.int32(0),
+        scores, finished,
+        num_layers=NL, beam=BEAM, num_heads=H, topk=topk, interpret=True,
+    )
+
+    # XLA formula: finished rows emit only padding (col 0) at prob 1
+    lp = jax.nn.log_softmax(jnp.asarray(np.asarray(xla_logits)), axis=-1)
+    pad_row = jnp.full((1, vocab), -1e9).at[0, 0].set(0.0)
+    lp = finished * pad_row + (1.0 - finished) * lp
+    total = lp + scores
+    exp_s, exp_i = jax.lax.top_k(total, topk)
+
+    np.testing.assert_allclose(
+        np.asarray(top_s[:, :topk]), np.asarray(exp_s), atol=3e-4
+    )
+    np.testing.assert_array_equal(np.asarray(top_i[:, :topk]), np.asarray(exp_i))
+    assert np.all(np.asarray(top_i[:, :topk]) < vocab)  # padded lanes never win
+    # finished rows: winner is the padding column at exactly the carried score
+    np.testing.assert_allclose(
+        np.asarray(top_s[[1, 3], 0]), np.asarray(scores[[1, 3], 0]), atol=1e-6
+    )
+    assert np.all(np.asarray(top_i[[1, 3], 0]) == 0)
+
+
 def test_fused_cache_positions_written(setup, rng):
     """The aliased HBM cache must contain the projected K rows at each position."""
     model, variables, enc = setup
