@@ -26,10 +26,12 @@ assert jax.default_backend() == "cpu", "tests must run on CPU"
 # Persistent compile cache makes repeated suite runs fast. The directory is
 # fingerprinted by the host's CPU feature flags: XLA:CPU persists AOT-compiled
 # machine code whose cache key does NOT include the precise host features, so
-# an entry written on a different machine loads with a "could lead to
-# execution errors such as SIGILL" warning — and a full-suite run was observed
-# dying with SIGABRT mid-execution on such an entry. A feature-keyed directory
-# means a new machine starts cold instead of executing foreign code.
+# a machine change between rounds would execute code compiled for another CPU;
+# a feature-keyed directory makes a new machine start cold instead.
+# (The cpu_aot_loader "feature +prefer-no-gather not supported ... may SIGILL"
+# warning is benign self-noise: probed to fire on every load, even of entries
+# this same machine wrote seconds earlier — XLA embeds prefer-no-scatter/gather
+# tuning pseudo-features the host checker doesn't recognize.)
 import hashlib
 import platform
 
