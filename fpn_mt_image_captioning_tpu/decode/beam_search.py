@@ -57,7 +57,8 @@ def cast_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "beam_n", "max_len", "start_token", "end_token", "parity", "fused"
+        "model", "beam_n", "max_len", "start_token", "end_token", "parity",
+        "fused", "pack_dtype",
     ),
 )
 def beam_search(
@@ -71,6 +72,8 @@ def beam_search(
     end_token: int,
     parity: bool = False,
     fused: bool = False,       # use the fused Pallas decoder-step kernel (TPU)
+    pack_dtype: Any = jnp.bfloat16,  # fused path's weight/compute dtype
+                                     # (float32 for on-chip parity vs the XLA path)
 ):
     """Returns ``(sequences (B, max_len) int32, lengths (B,) int32, scores (B,))``.
 
@@ -90,7 +93,7 @@ def beam_search(
         from ..models.positional import raw_positional_encoding
 
         params = variables["params"]
-        packed = pack_decoder_weights(params, model.num_layers)
+        packed = pack_decoder_weights(params, model.num_layers, dtype=pack_dtype)
         cache = init_fused_cache(packed, enc_output, beam_n, max_len)
         lpad = cache["k_self"].shape[1]
         emb_table = jnp.asarray(
