@@ -12,7 +12,18 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU kills the whole process ("Termination timeout for `collective call`
+# ... Exiting to ensure a consistent program state") when the 8 virtual-device
+# threads of an in-process collective don't all reach the rendezvous within the
+# default window — observed twice as a mid-suite SIGABRT in the dryrun's
+# sharded step under heavy concurrent host load. Raise the windows far beyond
+# any plausible scheduler starvation.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU plugin at
 # interpreter startup — before this conftest runs — so jax may already be imported

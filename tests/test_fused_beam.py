@@ -44,3 +44,29 @@ def test_fused_beam_matches_xla(small_model, beam_n):
     np.testing.assert_allclose(
         np.asarray(ref_scores), np.asarray(f_scores), rtol=5e-3
     )
+
+
+@pytest.mark.parametrize("beam_n", [1, 4])
+def test_fused_beam_matches_xla_exactly_at_f32(small_model, beam_n):
+    """With pack_dtype=float32 the fused engine picks IDENTICAL sequences vs
+    the XLA path, and scores agree to f32 accumulation noise (~1e-6 — the
+    kernel's chunked log-softmax reduces in a different order, so bit-exact
+    score equality is compiler-dependent even in interpreter mode; the
+    production bf16 packing is the only *choice-flipping* divergence source.
+    scripts/verify_fused_on_tpu.py runs this comparison on the real chip)."""
+    model, variables, enc = small_model
+    ref_seqs, ref_len, ref_scores = beam_search(
+        model, variables, enc,
+        beam_n=beam_n, max_len=MAX_LEN, start_token=START, end_token=END,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        f_seqs, f_len, f_scores = beam_search(
+            model, variables, enc,
+            beam_n=beam_n, max_len=MAX_LEN, start_token=START, end_token=END,
+            fused=True, pack_dtype=jnp.float32,
+        )
+    np.testing.assert_array_equal(np.asarray(ref_seqs), np.asarray(f_seqs))
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(f_len))
+    np.testing.assert_allclose(
+        np.asarray(ref_scores), np.asarray(f_scores), rtol=1e-5, atol=1e-5
+    )
