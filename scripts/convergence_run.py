@@ -116,6 +116,61 @@ def main() -> None:
         for s in scalars:
             f.write(json.dumps(s) + "\n")
 
+    # ---- README-protocol eval: the FULL 7-metric suite at beam 8 ----
+    # The reference's published table (BASELINE.md) comes from evaluating the
+    # best checkpoint on the val split at beam size 8
+    # (`/root/reference/README.md:5-18`; the in-tree default beam is 4, the
+    # README run overrode it). Reproduce that exact protocol through the real
+    # eval surfaces: Pipeline.evaluate -> results JSON -> MetricEval, whose
+    # `.eval` carries BLEU-1..4 / METEOR / ROUGE-L / CIDEr like COCOEvalCap.
+    import dataclasses
+
+    from fpn_mt_image_captioning_tpu.data.dataset import (
+        COCO_Images_ImageID,
+        load_additional_info,
+    )
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    eval_cfg = dataclasses.replace(cfg, is_training=False, beam_search_n=8)
+    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    master = Pipeline(
+        cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len,
+        eval_cfg,
+    )
+    try:
+        val_iter = COCO_Images_ImageID(
+            cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
+            image_size=cfg.image_input_size,
+        )
+        results = master.evaluate(iter(val_iter))
+        res_file = os.path.join(ws, "results", "beam8_captions_result.json")
+        os.makedirs(os.path.dirname(res_file), exist_ok=True)
+        with open(res_file, "w") as f:
+            json.dump(results, f)
+        master.metric_eval(res_file)
+        full = dict(master.metric_eval.eval)
+    finally:
+        master.close()
+
+    additional = load_additional_info(cfg.additional_filename)
+    best_epoch = additional.get(
+        "mt_epoch_" + os.path.basename(cfg.transformer_checkpoint_path)
+    )
+    full_metrics = {
+        "protocol": (
+            "best checkpoint, val split, beam_search_n=8 — the reference "
+            "README's run config (BASELINE.md rows)"
+        ),
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "n_val": n_val,
+        "beam_search_n": 8,
+        "best_epoch": best_epoch,
+        "metrics": {k: round(float(v), 4) for k, v in full.items()},
+    }
+    with open(os.path.join(out_dir, "full_metrics.json"), "w") as f:
+        json.dump(full_metrics, f, indent=2)
+
     summary = {
         "backend": backend,
         "first_loss": round(losses[0]["value"], 4),
@@ -124,6 +179,7 @@ def main() -> None:
         "best_cider": round(max(c["value"] for c in ciders), 4) if ciders else None,
         "epochs": len(losses),
         "curve": curve_path,
+        "full_metrics_beam8": full_metrics["metrics"],
     }
     print(json.dumps(summary))
 

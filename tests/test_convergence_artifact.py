@@ -43,6 +43,25 @@ def test_loss_decreases():
         )
 
 
+def test_full_metric_suite_at_beam8():
+    """The README-protocol artifact: the best checkpoint evaluated on the val
+    split at beam 8 (the reference README's run config, BASELINE.md) must carry
+    the complete 7-metric suite, and on this overfit corpus the model decodes
+    essentially exact ground-truth captions — so every metric must be high."""
+    path = os.path.join(ART_DIR, "full_metrics.json")
+    if not os.path.exists(path):
+        pytest.skip("no full-metrics artifact committed yet")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["beam_search_n"] == 8
+    m = art["metrics"]
+    for key in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert key in m, f"metric {key} missing from the artifact"
+        assert 0.0 <= m[key], f"{key} out of range: {m[key]}"
+    assert m["CIDEr"] > 1.0, f"overfit-corpus CIDEr too low: {m['CIDEr']}"
+    assert m["Bleu_1"] > 0.8 and m["ROUGE_L"] > 0.8, m
+
+
 def test_cider_improves():
     for name, header, scalars in _load_curves():
         ciders = [s["value"] for s in scalars if s["tag"] == "CIDEr"]

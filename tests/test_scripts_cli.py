@@ -76,6 +76,13 @@ def test_train_test_show_results_flow(workspace):
     rendered = list((workspace / "results").glob("img_*.png"))
     assert len(rendered) == 2, r3.stdout[-2000:]
 
+    # eval-only branch: like pycocoevalcap in the reference eval flow, it must
+    # print the COMPLETE metric table, not just the checkpoint-gating CIDEr
+    r4 = run_script("train.py", ["--is_training=false", *COMMON], cwd=workspace)
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    for key in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert f"{key}:" in r4.stdout, r4.stdout[-2000:]
+
 
 @pytest.mark.slow
 def test_caption_serving_cli(workspace):

@@ -115,8 +115,11 @@ def main(cfg: Config) -> None:
         with open(cfg.result_file, "w") as outfile:
             json.dump(results, outfile)
         if results:
-            cider = master.metric_eval(cfg.result_file)
-            print("CIDEr:", cider)
+            master.metric_eval(cfg.result_file)
+            # pycocoevalcap prints the whole table during compute
+            # (reference eval flow, /root/reference/dataset.py:260-298)
+            for name, value in master.metric_eval.eval.items():
+                print(f"{name}: {value:.4f}")
 
 
 if __name__ == "__main__":
