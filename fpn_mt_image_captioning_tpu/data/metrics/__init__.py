@@ -6,6 +6,14 @@ pycocoevalcap (Java-backed). Here the full metric suite — BLEU-1..4, METEOR,
 ROUGE-L, CIDEr-D — is computed by the pure-Python scorers in this package;
 ``__call__`` returns the CIDEr value (the checkpoint-gating metric) and leaves
 the complete results in ``.eval``, mirroring ``COCOEvalCap.eval``.
+
+Known omission: pycocoevalcap's SPICE scorer (Java + Stanford CoreNLP
+dependency parsing into scene-graph tuples) is NOT reimplemented — the
+reference never reports it (its README table has no SPICE row and
+``MetricEval`` returns only CIDEr), and a faithful scorer requires the CoreNLP
+parser stack, unavailable offline. An approximation without a real parser
+would produce numbers uncomparable to published SPICE values, which is worse
+than absence.
 """
 
 from __future__ import annotations
