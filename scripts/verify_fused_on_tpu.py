@@ -257,6 +257,17 @@ def main():
         synced_ok = synced_probe(
             model, variables, enc, batch, beam, max_len, steps=max_len - 1
         )
+    else:
+        # no TPU: run the same probes with the kernel in interpreter mode —
+        # validates the probe machinery itself (state sync, freeze math,
+        # comparison masking); deltas here are pure f32 reduction-order noise
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            step_ok = step_probe(model, variables, enc, batch, beam, max_len)
+            synced_ok = synced_probe(
+                model, variables, enc, batch, beam, max_len, steps=max_len - 1
+            )
 
     def decode(fused):
         fn = jax.jit(

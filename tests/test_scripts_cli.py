@@ -85,6 +85,22 @@ def test_train_test_show_results_flow(workspace):
 
 
 @pytest.mark.slow
+def test_verify_fused_tiny_probes(tmp_path):
+    """scripts/verify_fused_on_tpu.py --tiny runs the step + state-synchronized
+    probes with the kernel in interpreter mode: deltas must be f32
+    reduction-order noise (the on-chip run measures the same probes against the
+    real Mosaic lowering; this pins the probe machinery itself)."""
+    r = run_script("scripts/verify_fused_on_tpu.py", ["--tiny"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    by_phase = {l["phase"]: l for l in lines}
+    assert by_phase["engine"]["verdict"] == "PASS"
+    assert by_phase["step_probe"]["max_abs_score_delta"] < 1e-5
+    assert by_phase["synced_steps"]["max_abs_score_delta"] < 1e-5
+    assert by_phase["synced_steps"]["topk_index_flips"] == 0
+
+
+@pytest.mark.slow
 def test_caption_serving_cli(workspace):
     """Batched serving surface (BASELINE serving contract): caption a directory
     with tail-batch padding, prefetch, and a warm-up batch excluded from the
