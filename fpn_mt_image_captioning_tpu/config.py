@@ -116,6 +116,9 @@ class Config:
                                             # — scripts/profile_encode.py); off by default
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     remat_encoder: bool = False             # jax.checkpoint over encoder layers
+    profile_dir: str = ""                   # capture a jax.profiler device trace of
+                                            # early train steps into this TensorBoard
+                                            # logdir (SURVEY §5.1); empty = off
 
     # ------------------------------------------------------------------
     @property

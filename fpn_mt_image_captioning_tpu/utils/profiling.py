@@ -182,6 +182,44 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTracer:
+    """First-class ``--profile_dir`` surface (SURVEY §5.1): capture a
+    TensorBoard device-profile trace over a window of training steps.
+
+    Call ``step(i)`` once per step with a running index; the trace opens at
+    ``start`` (default 1, skipping the compile step so it doesn't dominate the
+    timeline) and closes at ``stop``. ``close()`` is idempotent and ends an
+    open trace early (e.g. when the run has fewer steps than the window)."""
+
+    def __init__(self, logdir: str, start: int = 1, stop: int = 4):
+        self.logdir = logdir
+        self.start = start
+        self.stop = stop
+        self._active = False
+        self._done = False
+
+    def step(self, i: int) -> None:
+        import jax
+
+        if self._done:
+            return
+        if not self._active and i >= self.start:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif self._active and i >= self.stop:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+    def close(self) -> None:
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
 class StepTimer:
     """Rolling wall-clock timer for training/serving steps."""
 

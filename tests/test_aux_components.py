@@ -65,6 +65,34 @@ def test_step_timer():
     assert s["p50_ms"] >= 0
 
 
+def test_step_tracer_captures_window(tmp_path):
+    """StepTracer (the --profile_dir surface, SURVEY §5.1) opens a
+    jax.profiler trace at `start`, closes it at `stop`, and writes a
+    TensorBoard profile plugin directory; close() is idempotent."""
+    import glob
+    import jax
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.utils.profiling import StepTracer
+
+    logdir = str(tmp_path / "profile")
+    tracer = StepTracer(logdir, start=1, stop=3)
+    x = jnp.ones((8, 8))
+    for i in range(5):
+        tracer.step(i)
+        np.asarray(jax.jit(lambda a: a @ a)(x))
+    tracer.close()
+    tracer.close()  # idempotent
+    traces = glob.glob(f"{logdir}/plugins/profile/*/*")
+    assert traces, "no profile trace written"
+
+    # fewer steps than the window: close() must end the open trace
+    tracer2 = StepTracer(str(tmp_path / "p2"), start=0, stop=10)
+    tracer2.step(0)
+    tracer2.close()
+    assert glob.glob(f"{tmp_path}/p2/plugins/profile/*/*")
+
+
 def test_build_train_run_traces_and_keeps_loss_live():
     """Trace (no XLA compile — that takes >10 min on CPU even at micro dims)
     the shared training-throughput runner behind ``bench.py --train`` and

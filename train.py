@@ -64,11 +64,21 @@ def main(cfg: Config) -> None:
         except ImportError:  # tqdm optional
             tqdm = lambda x, **k: x
 
+        tracer = None
+        if cfg.profile_dir:
+            from fpn_mt_image_captioning_tpu.utils.profiling import StepTracer
+
+            tracer = StepTracer(cfg.profile_dir)
+        global_step = 0
+
         for epoch in range(start_epoch, cfg.epochs):
             print(f"Epoch {epoch + 1} / {cfg.epochs}")
             epoch_losses = []
             bar = tqdm(train_datasets, total=train_set_len)
             for img, caption_token in bar:
+                if tracer is not None:
+                    tracer.step(global_step)
+                global_step += 1
                 loss = master.train_step(img, caption_token)
                 epoch_losses.append(loss)
                 if hasattr(bar, "set_postfix"):
@@ -96,6 +106,9 @@ def main(cfg: Config) -> None:
                         additional_info[key_epoch] = master.smart_ckpt_saver.max_acc_epoch
                         store_additional_info(additional_info, cfg.additional_filename)
             print()
+
+        if tracer is not None:
+            tracer.close()
 
         print(f"Saving Transformer weights for epoch {master.smart_ckpt_saver.max_acc_epoch}")
         restored = master.ckpt_manager.restore(master.state)
