@@ -114,6 +114,13 @@ class Config:
     fused_backbone: bool = False            # experimental Pallas backbone: measured SLOWER
                                             # than XLA convs on v5e (45.3 vs 12.0 ms/batch-64
                                             # — scripts/profile_encode.py); off by default
+    max_decode_rows: int = 512              # per-device decode rows (batch*beam) per
+                                            # launch; larger predict_batch calls are
+                                            # chunked host-side. 512 = the fused
+                                            # kernel's measured VMEM ceiling at
+                                            # flagship dims (batch 64 x beam 8;
+                                            # batch 128 hits 125M scoped VMEM vs the
+                                            # 110M limit). 0 disables chunking.
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     remat_encoder: bool = False             # jax.checkpoint over encoder layers
     profile_dir: str = ""                   # capture a jax.profiler device trace of

@@ -289,13 +289,42 @@ class Pipeline:
 
         Under a mesh the batch is padded to a multiple of the data-axis size
         (padded rows decoded and discarded) so encode + beam search stay
-        batch-sharded with static shapes."""
+        batch-sharded with static shapes.
+
+        Batches whose per-device decode-row count (batch x beam / data-axis)
+        exceeds ``Config.max_decode_rows`` are split host-side into equal
+        chunks (tail zero-padded so every chunk reuses one compiled program).
+        Beam search is batch-parallel, so chunking is result-invariant; it
+        keeps arbitrarily large serving batches inside the fused kernel's
+        per-launch VMEM ceiling (512 rows at flagship dims)."""
         cfg = self.config
         beam_n = cfg.beam_search_n if beam_n is None else beam_n
-        n_real = np.asarray(images).shape[0]
+        images = np.asarray(images)
+        n_real = images.shape[0]
+        limit = cfg.max_decode_rows
+        ndev = self._data_axis_size
+        if limit and n_real * beam_n > limit * ndev:
+            chunk_b = max(1, limit // beam_n) * ndev
+            tail = (-n_real) % chunk_b
+            if tail:
+                images = np.concatenate(
+                    [images, np.zeros((tail, *images.shape[1:]), images.dtype)]
+                )
+            parts = [
+                self._predict_chunk(images[i : i + chunk_b], beam_n)
+                for i in range(0, images.shape[0], chunk_b)
+            ]
+            seqs = np.concatenate([p[0] for p in parts])[:n_real]
+            lengths = np.concatenate([p[1] for p in parts])[:n_real]
+            return seqs, lengths
+        return self._predict_chunk(images, beam_n)
+
+    def _predict_chunk(self, images: np.ndarray, beam_n: int):
+        cfg = self.config
+        n_real = images.shape[0]
         pad = 0
         if self.mesh is not None:
-            images, pad = self._pad_batch(np.asarray(images))
+            images, pad = self._pad_batch(images)
         enc = self._encode(self.variables, jnp.asarray(images))
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
         # reference's degenerate tie-breaking reproduced bit-exactly in f32).

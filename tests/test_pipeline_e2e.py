@@ -91,6 +91,29 @@ def test_batched_evaluate_and_metrics(trained, workdir):
     assert set(pipeline.metric_eval.eval) >= {"Bleu_1", "CIDEr", "ROUGE_L", "METEOR"}
 
 
+def test_chunked_predict_batch_matches_unchunked(trained, workdir):
+    """Config.max_decode_rows splits oversized serving batches host-side;
+    beam search is batch-parallel, so the chunked result must be identical.
+    (Guards the fused kernel's measured 512-row VMEM ceiling — CLAUDE.md r3:
+    batch 128 x beam 8 fails to compile in one launch.)"""
+    import dataclasses
+
+    pipeline, _, _, _ = trained
+    cfg = pipeline.config
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(-1, 1, size=(5, IMG, IMG, 3)).astype(np.float32)
+
+    whole_s, whole_l = pipeline.predict_batch(imgs, beam_n=2)
+    try:
+        # beam 2, limit 4 rows -> chunk_b = 2 -> 3 chunks (tail zero-padded)
+        pipeline.config = dataclasses.replace(cfg, max_decode_rows=4)
+        chunk_s, chunk_l = pipeline.predict_batch(imgs, beam_n=2)
+    finally:
+        pipeline.config = cfg
+    np.testing.assert_array_equal(whole_l, chunk_l)
+    np.testing.assert_array_equal(whole_s, chunk_s)
+
+
 def test_checkpoint_roundtrip(trained, workdir):
     root, cfg = workdir
     pipeline, _, max_seq_len, _ = trained
