@@ -278,5 +278,22 @@ def test_mesh_enabled_pipeline_end_to_end(tmp_path):
         img = next(iter(val))[0]
         seq = pipeline.predict(np.asarray(img))
         assert seq.ndim == 1
+
+        # host-side row chunking composes with the mesh: limit 2 rows/device
+        # at beam 2 -> chunk_b = 1*4 devices -> 6 images = 2 chunks (tail padded)
+        import dataclasses
+
+        imgs = np.stack([np.asarray(i) for i, _ in
+                         COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, 3,
+                                             image_size=256, seed=0)] * 2)
+        whole_s, whole_l = pipeline.predict_batch(imgs, beam_n=2)
+        cfg0 = pipeline.config
+        try:
+            pipeline.config = dataclasses.replace(cfg0, max_decode_rows=2)
+            chunk_s, chunk_l = pipeline.predict_batch(imgs, beam_n=2)
+        finally:
+            pipeline.config = cfg0
+        np.testing.assert_array_equal(whole_s, chunk_s)
+        np.testing.assert_array_equal(whole_l, chunk_l)
     finally:
         pipeline.close()
