@@ -74,7 +74,7 @@ def measure_latency(pipeline, files, image_size: int, n: int) -> dict:
         "metric": "end-to-end single-request latency",
         "unit": "ms",
         "n": n,
-        "p50_ms": round(times[len(times) // 2], 2),
+        "p50_ms": round(times[max(math.ceil(0.5 * len(times)) - 1, 0)], 2),
         # nearest-rank percentile: index ceil(0.9n)-1 (int(0.9n) overstates
         # for small n — it reports the max of 10 samples as "p90")
         "p90_ms": round(times[max(math.ceil(0.9 * len(times)) - 1, 0)], 2),

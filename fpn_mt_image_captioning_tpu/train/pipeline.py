@@ -303,7 +303,11 @@ class Pipeline:
         n_real = images.shape[0]
         limit = cfg.max_decode_rows
         ndev = self._data_axis_size
-        if limit and n_real * beam_n > limit * ndev:
+        # per-device rows AFTER the mesh pad: ceil(B/ndev) * beam (the pad in
+        # _predict_chunk rounds B up, so comparing n_real*beam to limit*ndev
+        # would under-trigger right at the boundary and recompile into the
+        # same VMEM failure chunking exists to prevent)
+        if limit and -(-n_real // ndev) * beam_n > limit:
             chunk_b = max(1, limit // beam_n) * ndev
             tail = (-n_real) % chunk_b
             if tail:

@@ -141,39 +141,20 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
     at flagship shapes (dff 2048 % 2, heads 8 % 2, vocab 10000 % 2). AOT
     lower+compile over ShapeDtypeStructs: the GSPMD partitioner runs in full,
     no weights are materialized and nothing executes."""
-    from fpn_mt_image_captioning_tpu.models.positional import create_masks
-    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
-    from fpn_mt_image_captioning_tpu.parallel.mesh import data_sharding
-    from fpn_mt_image_captioning_tpu.parallel.train import (
-        make_sharded_train_step,
-        state_shardings,
-    )
-    from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
-    from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule, make_optimizer
+    import os
+    import sys
 
-    batch, seq, vocab, img_size = 16, 64, 10000, 512
-    model = Transformer(
-        num_layers=6, d_model=512, num_heads=8, dff=2048,
-        input_vocab_size=(img_size // 16) ** 2, target_vocab_size=vocab,
-        max_seq_len=seq,
-    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+    from fpn_mt_image_captioning_tpu.parallel.mesh import data_sharding
+
+    batch, seq = 16, 64
     mesh = make_mesh(MeshConfig(data_axis_size=4, model_axis_size=2))
 
-    img = jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.float32)
-    caps = jax.ShapeDtypeStruct((batch, seq), jnp.int32)
-    tar = jax.ShapeDtypeStruct((batch, seq - 1), jnp.int32)
-
-    def init_fn(rng):
-        variables = model.init(
-            {"params": rng, "dropout": rng},
-            jnp.zeros(img.shape, img.dtype), jnp.zeros(tar.shape, tar.dtype),
-            True, create_masks(jnp.zeros(tar.shape, tar.dtype)),
-        )
-        return variables
-
-    var_shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
-    optimizer = make_optimizer(custom_schedule(2048, 4000))
-    opt_shapes = jax.eval_shape(optimizer.init, var_shapes["params"])
+    # the flagship AOT recipe lives in __graft_entry__._flagship_aot_compile
+    # (single source — the driver's dryrun full=True runs the same code);
+    # raises on any GSPMD partitioning failure
+    model, var_shapes = graft._flagship_aot_compile(mesh, model_axis=2, batch=batch)
 
     # at these dims every TP rule must actually engage (no silent replication
     # fallback from non-divisible dims)
@@ -183,25 +164,6 @@ def test_flagship_shapes_compile_under_dp_tp_mesh():
     assert param_spec("final_layer/kernel",
                       var_shapes["params"]["final_layer"]["kernel"], True, mesh
                       ) == P(None, "model")
-
-    # the SAME sharding rule the real training path uses (parallel/train.py)
-    state_shapes = TrainState(
-        var_shapes["params"], var_shapes.get("batch_stats", {}),
-        opt_shapes, jax.ShapeDtypeStruct((), jnp.int32),
-    )
-    shardings = state_shardings(mesh, state_shapes, tp=True)
-    state_shapes = jax.tree.map(
-        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
-        state_shapes, shardings,
-    )
-
-    step = make_sharded_train_step(mesh, model, optimizer, shardings)
-    compiled = step.lower(
-        state_shapes,
-        jax.ShapeDtypeStruct(img.shape, img.dtype, sharding=data_sharding(mesh, 4)),
-        jax.ShapeDtypeStruct(caps.shape, caps.dtype, sharding=data_sharding(mesh, 2)),
-    ).compile()
-    assert compiled is not None
 
     # sharded decode (GSPMD XLA engine) at flagship dims: encode + beam search
     from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search

@@ -71,44 +71,48 @@ def main(cfg: Config) -> None:
             tracer = StepTracer(cfg.profile_dir)
         global_step = 0
 
-        for epoch in range(start_epoch, cfg.epochs):
-            print(f"Epoch {epoch + 1} / {cfg.epochs}")
-            epoch_losses = []
-            bar = tqdm(train_datasets, total=train_set_len)
-            for img, caption_token in bar:
-                if tracer is not None:
-                    tracer.step(global_step)
-                global_step += 1
-                loss = master.train_step(img, caption_token)
-                epoch_losses.append(loss)
-                if hasattr(bar, "set_postfix"):
-                    bar.set_postfix(loss=f"{loss:.4f}")
+        # tracer.close() in a finally: an abort mid-epoch (NaN loss, Ctrl-C,
+        # loader error) must still stop the open jax.profiler trace window so
+        # the --profile_dir capture is flushed — exactly the runs one profiles
+        try:
+            for epoch in range(start_epoch, cfg.epochs):
+                print(f"Epoch {epoch + 1} / {cfg.epochs}")
+                epoch_losses = []
+                bar = tqdm(train_datasets, total=train_set_len)
+                for img, caption_token in bar:
+                    if tracer is not None:
+                        tracer.step(global_step)
+                    global_step += 1
+                    loss = master.train_step(img, caption_token)
+                    epoch_losses.append(loss)
+                    if hasattr(bar, "set_postfix"):
+                        bar.set_postfix(loss=f"{loss:.4f}")
 
-            mean_loss = sum(epoch_losses) / max(len(epoch_losses), 1)
-            writer.scalar("loss", mean_loss, epoch)
-            jsonl.scalar("loss", mean_loss, epoch)
+                mean_loss = sum(epoch_losses) / max(len(epoch_losses), 1)
+                writer.scalar("loss", mean_loss, epoch)
+                jsonl.scalar("loss", mean_loss, epoch)
 
-            if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
-                print("Evaluating...")
-                results = master.evaluate(iter(val_datasets))
-                os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
-                with open(cfg.result_file, "w") as outfile:
-                    json.dump(results, outfile)
+                if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
+                    print("Evaluating...")
+                    results = master.evaluate(iter(val_datasets))
+                    os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
+                    with open(cfg.result_file, "w") as outfile:
+                        json.dump(results, outfile)
 
-                if results:
-                    cider = master.metric_eval(cfg.result_file)
-                    writer.scalar("CIDEr", cider, epoch)
-                    jsonl.scalar("CIDEr", cider, epoch)
-                    should_break = master.smart_ckpt_saver(epoch + 1, cider, master.state)
-                    if should_break == -1:
-                        break
-                    elif should_break == 1:
-                        additional_info[key_epoch] = master.smart_ckpt_saver.max_acc_epoch
-                        store_additional_info(additional_info, cfg.additional_filename)
-            print()
-
-        if tracer is not None:
-            tracer.close()
+                    if results:
+                        cider = master.metric_eval(cfg.result_file)
+                        writer.scalar("CIDEr", cider, epoch)
+                        jsonl.scalar("CIDEr", cider, epoch)
+                        should_break = master.smart_ckpt_saver(epoch + 1, cider, master.state)
+                        if should_break == -1:
+                            break
+                        elif should_break == 1:
+                            additional_info[key_epoch] = master.smart_ckpt_saver.max_acc_epoch
+                            store_additional_info(additional_info, cfg.additional_filename)
+                print()
+        finally:
+            if tracer is not None:
+                tracer.close()
 
         print(f"Saving Transformer weights for epoch {master.smart_ckpt_saver.max_acc_epoch}")
         restored = master.ckpt_manager.restore(master.state)
