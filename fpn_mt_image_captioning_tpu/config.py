@@ -161,10 +161,14 @@ class Config:
         mesh_overrides: dict[str, Any] = {}
         field_names = {f.name for f in dataclasses.fields(cls)}
         mesh_fields = {f.name for f in dataclasses.fields(MeshConfig)}
+        bool_fields = {f.name for f in dataclasses.fields(cls) if f.type in (bool, "bool")}
+        bool_mesh_fields = {
+            f.name for f in dataclasses.fields(MeshConfig) if f.type in (bool, "bool")
+        }
         for arg in argv:
             if not arg.startswith("--"):
                 continue
-            key, _, raw = arg[2:].partition("=")
+            key, had_eq, raw = arg[2:].partition("=")
             key = key.replace("-", "_")
             try:
                 val = json.loads(raw)
@@ -175,10 +179,21 @@ class Config:
                 sub = key[5:]
                 if sub not in mesh_fields:
                     raise ValueError(f"Unknown mesh flag --{key}")
+                if not had_eq:
+                    # a bare boolean flag is a switch: --mesh.enabled == true.
+                    # (Silently storing '' — falsy — used to ACCEPT the flag
+                    # and then ignore it, quietly training single-device.)
+                    if sub not in bool_mesh_fields:
+                        raise ValueError(f"--{key} requires a value (--{key}=...)")
+                    val = True
                 mesh_overrides[sub] = val
                 continue
             if key not in field_names:
                 raise ValueError(f"Unknown config flag --{key}")
+            if not had_eq:
+                if key not in bool_fields:
+                    raise ValueError(f"--{key} requires a value (--{key}=...)")
+                val = True
             overrides[key] = val
         if mesh_overrides:
             mesh_base = overrides.get("mesh", MeshConfig())

@@ -92,8 +92,15 @@ def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
     if native_loader.available():
         out, ok = native_loader.decode_batch(paths, image_size, num_workers)
         if not ok.all():
-            for i in np.nonzero(~ok)[0]:
-                out[i] = load_image(paths[i], None, image_size)[0]
+            bad = np.nonzero(~ok)[0]
+            # whole-batch fallback (e.g. a JPEG dataset — the native decoder is
+            # PNG-only) must stay parallel, not a serial per-image loop
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                for i, img in zip(
+                    bad,
+                    pool.map(lambda j: load_image(paths[j], None, image_size)[0], bad),
+                ):
+                    out[i] = img
         return out
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         imgs = list(pool.map(lambda p: load_image(p, None, image_size)[0], paths))
@@ -101,25 +108,54 @@ def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
 
 
 class _Prefetcher:
-    """Background-thread prefetch queue (replaces tf.data's AUTOTUNE prefetch)."""
+    """Background-thread prefetch queue (replaces tf.data's AUTOTUNE prefetch).
+
+    The producer never blocks indefinitely: every ``put`` polls a stop event,
+    so a consumer that abandons the iterator mid-epoch (early break, exception)
+    releases the thread — and the decoded batches it pins — via ``close()``,
+    which garbage collection also triggers (the thread closes over the queue
+    and event, not ``self``, so an abandoned iterator stays collectable)."""
 
     _END = object()
 
     def __init__(self, it: Iterator, depth: int = 2):
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._err: BaseException | None = None
+        q = self._q = queue.Queue(maxsize=depth)
+        stop = self._stop = threading.Event()
+        errbox = self._errbox = []
+        end = _Prefetcher._END
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in it:
-                    self._q.put(item)
+                    if not put(item):
+                        return  # consumer gone
             except BaseException as e:  # propagate into consumer
-                self._err = e
+                errbox.append(e)
             finally:
-                self._q.put(self._END)
+                put(end)
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
+
+    def close(self):
+        self._stop.set()
+        try:  # drain so a producer blocked in q.put observes the stop promptly
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):
+        self.close()
 
     def __iter__(self):
         return self
@@ -127,8 +163,9 @@ class _Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._END:
-            if self._err is not None:
-                raise self._err
+            self._stop.set()
+            if self._errbox:
+                raise self._errbox[0]
             raise StopIteration
         return item
 

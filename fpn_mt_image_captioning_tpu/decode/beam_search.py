@@ -88,7 +88,6 @@ def beam_search(
             fused_decode_step,
             init_fused_cache,
             pack_decoder_weights,
-            round_up,
         )
         from ..models.positional import raw_positional_encoding
 
@@ -154,6 +153,7 @@ def beam_search(
                 scores.reshape(bk, 1), finished.reshape(bk, 1).astype(jnp.float32),
                 num_layers=model.num_layers, beam=beam_n,
                 num_heads=model.num_heads, topk=beam_n,
+                activation=model.activation,
             )
             cand_s = top_s[:, :beam_n].reshape(batch, beam_n * beam_n)
             cand_i = top_i[:, :beam_n].reshape(batch, beam_n * beam_n)

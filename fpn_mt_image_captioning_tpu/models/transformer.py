@@ -137,8 +137,16 @@ class Encoder(nn.Module):
             name="feature_extractor",
         )
         num_views = self.num_pyramids - 1
+        # rematerialization must be the LIFTED transform (nn.remat) so Flax
+        # tracks param creation through it (raw jax.checkpoint leaks init-time
+        # tracers); static_argnums counts self as 0, so `deterministic` — a
+        # Python bool steering nn.Dropout — is argnum 5
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(5,))
+            if self.remat else EncoderLayer
+        )
         self.enc_layers = [
-            EncoderLayer(
+            layer_cls(
                 self.d_model, self.num_heads, self.dff, num_views,
                 self.rate, self.activation, self.dtype, name=f"layer_{i}",
             )
@@ -197,8 +205,7 @@ class Encoder(nn.Module):
         kv_b = jnp.asarray(self.kv_bias, baseline.dtype)
 
         for li, layer in enumerate(self.enc_layers):
-            apply_layer = jax.checkpoint(layer.__call__) if self.remat else layer
-            baseline = apply_layer(baseline, sources, kv_w[li], kv_b[li], not train)
+            baseline = layer(baseline, sources, kv_w[li], kv_b[li], not train)
         return baseline
 
 

@@ -41,7 +41,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pack_decoder_weights", "init_fused_cache", "fused_decode_step", "round_up"]
+__all__ = [
+    "pack_decoder_weights", "init_fused_cache", "fused_decode_step", "round_up",
+    "FUSED_ACTIVATIONS",
+]
+
+# FFN activations implemented inside the kernel (all of
+# models/layers.py:resolve_activation today); Pipeline falls back to the XLA
+# decode path for anything outside this set rather than silently serving the
+# wrong nonlinearity.
+FUSED_ACTIVATIONS = frozenset({"leaky_relu", "relu", "relu6", "gelu"})
 
 
 def round_up(x: int, m: int) -> int:
@@ -179,6 +188,7 @@ def _decoder_kernel(
     num_heads: int,
     tile: int,
     topk: int,
+    activation: str = "leaky_relu",
     ablate: str = "",
 ):
     layer = pl.program_id(0)
@@ -432,7 +442,20 @@ def _decoder_kernel(
             x_s[:] = out2.astype(dtype)
             return
         hdn = jnp.dot(out2_b, w1_ref[0], preferred_element_type=f32) + b1_ref[0]
-        hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn).astype(dtype)     # leaky_relu(0.2)
+        # Config.activation, in-kernel (elementwise — the Mosaic-safe subset;
+        # matches models/layers.py:resolve_activation). FUSED_ACTIVATIONS
+        # gates callers to exactly this set.
+        if activation == "leaky_relu":
+            hdn = jnp.where(hdn > 0, hdn, 0.2 * hdn)
+        elif activation == "relu":
+            hdn = jnp.maximum(hdn, 0.0)
+        elif activation == "relu6":
+            hdn = jnp.clip(hdn, 0.0, 6.0)
+        elif activation == "gelu":
+            hdn = jax.nn.gelu(hdn)  # tanh approximation — lowers elementwise
+        else:  # pragma: no cover — callers gate on FUSED_ACTIVATIONS
+            raise ValueError(f"fused decoder: unsupported activation {activation!r}")
+        hdn = hdn.astype(dtype)
         ffn = jnp.dot(hdn, w2_ref[0], preferred_element_type=f32) + b2_ref[0]
         out3 = layer_norm(ffn + out2, ln[4], ln[5])
 
@@ -486,7 +509,8 @@ def _decoder_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_layers", "beam", "num_heads", "tile", "topk", "interpret", "ablate"
+        "num_layers", "beam", "num_heads", "tile", "topk", "interpret",
+        "activation", "ablate",
     ),
 )
 def fused_decode_step(
@@ -504,6 +528,7 @@ def fused_decode_step(
     tile: int = 128,
     topk: int | None = None,
     interpret: bool = False,
+    activation: str = "leaky_relu",
     ablate: str = "",  # perf-ablation sections to skip: softmax/cross/ffn/final
 ):
     """All decoder layers + final vocab projection + log-softmax + beam freeze
@@ -598,7 +623,7 @@ def fused_decode_step(
     kernel = functools.partial(
         _decoder_kernel,
         num_layers=n, beam=beam, num_heads=num_heads, tile=tile, topk=topk,
-        ablate=ablate,
+        activation=activation, ablate=ablate,
     )
 
     top_s, top_i, k_new, v_new = pl.pallas_call(

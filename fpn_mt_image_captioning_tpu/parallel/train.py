@@ -122,6 +122,7 @@ def make_sharded_beam_search(
     end_token: int,
     parity: bool = False,
     fused: bool = True,
+    pack_dtype=None,  # fused path's weight/compute dtype (None = engine default)
 ):
     """Batch-sharded beam search via ``shard_map`` over the ``data`` axis.
 
@@ -141,12 +142,14 @@ def make_sharded_beam_search(
 
     data_axis = mesh.axis_names[0]
 
+    kw = {} if pack_dtype is None else {"pack_dtype": pack_dtype}
+
     def local(variables, enc):
         return beam_search(
             model, variables, enc,
             beam_n=beam_n, max_len=max_len,
             start_token=start_token, end_token=end_token,
-            parity=parity, fused=fused,
+            parity=parity, fused=fused, **kw,
         )
 
     fn = jax.shard_map(

@@ -25,12 +25,20 @@ __all__ = ["masked_sparse_ce", "focal_loss", "smooth_l1_loss", "weighted_mse_los
 def masked_sparse_ce(real: jax.Array, logits: jax.Array) -> jax.Array:
     """``real``: (B, L) int token ids; ``logits``: (B, L, V) float.
     Padding (id 0) contributes zero loss but still counts in the mean — reference
-    parity (``utils/pipeline.py:50-57``)."""
+    parity (``utils/pipeline.py:50-57``).
+
+    The denominator counts only rows holding a real caption (any nonzero
+    token): identical to ``jnp.mean`` on reference-shaped batches, but the
+    all-zero rows a mesh tail-batch pad appends (``Pipeline._pad_batch``) do
+    not dilute the loss/gradients — a padded 3-real-row step optimizes exactly
+    like the unpadded one."""
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(log_probs, real[..., None].astype(jnp.int32), axis=-1)[..., 0]
     mask = (real != 0).astype(ce.dtype)
-    return jnp.mean(ce * mask)
+    real_rows = jnp.sum(jnp.any(real != 0, axis=-1).astype(ce.dtype))
+    denom = jnp.maximum(real_rows, 1.0) * real.shape[-1]
+    return jnp.sum(ce * mask) / denom
 
 
 def focal_loss(

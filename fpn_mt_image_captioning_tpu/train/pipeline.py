@@ -280,6 +280,9 @@ class Pipeline:
                 beam_n=beam_n, max_len=self.max_seq_len,
                 start_token=self.start_token, end_token=self.end_token,
                 fused=True,
+                # honor Config.compute_dtype (f32 serving must not silently
+                # pack decode weights to bf16)
+                pack_dtype=jnp.dtype(self.config.compute_dtype),
             )
         return cache[beam_n]
 
@@ -336,10 +339,15 @@ class Pipeline:
         # GSPMD can't partition the hand-written kernel, but beam search is
         # batch-parallel by construction, so each device runs it whole on its
         # local shard (parallel/train.py:make_sharded_beam_search).
+        from ..ops.fused_decoder import FUSED_ACTIVATIONS
+
         fused = (
             cfg.use_pallas
             and not cfg.beam_parity_mode
             and jax.default_backend() == "tpu"
+            # the kernel implements the FFN nonlinearity itself; an activation
+            # it doesn't know must fall back to XLA, not silently serve leaky
+            and cfg.activation in FUSED_ACTIVATIONS
         )
         if self.mesh is not None and fused:
             seqs, lengths, _scores = self._sharded_beam_search(beam_n)(
@@ -351,6 +359,7 @@ class Pipeline:
                 beam_n=beam_n, max_len=self.max_seq_len,
                 start_token=self.start_token, end_token=self.end_token,
                 parity=cfg.beam_parity_mode, fused=fused,
+                pack_dtype=jnp.dtype(cfg.compute_dtype),
             )
         seqs, lengths = np.asarray(seqs), np.asarray(lengths)
         if pad:
@@ -369,8 +378,6 @@ class Pipeline:
         (``decoder_layer{n}_block{1,2}`` — reference ``transformer.py:337``) by
         teacher-forcing the decoded sequence back through the full decoder.
         Returns (token sequence, attention_weights)."""
-        from ..models.positional import create_masks
-
         seq = self.predict(img)
         tokens = np.concatenate([[self.start_token], np.asarray(seq)])
         tokens = tokens[: self.max_seq_len]  # PE table covers max_seq_len positions

@@ -25,6 +25,74 @@ def test_config_unknown_flag_rejected():
         Config.from_flags(["--not_a_field=1"])
 
 
+def test_config_bare_boolean_flag_is_a_switch():
+    # --mesh.enabled used to parse to '' (falsy) — accepted then ignored
+    cfg = Config.from_flags(["--beam_parity_mode", "--mesh.enabled"])
+    assert cfg.beam_parity_mode is True
+    assert cfg.mesh.enabled is True
+
+
+def test_config_bare_non_boolean_flag_rejected():
+    with pytest.raises(ValueError, match="requires a value"):
+        Config.from_flags(["--batch_size"])
+    with pytest.raises(ValueError, match="requires a value"):
+        Config.from_flags(["--mesh.model_axis_size"])
+
+
+def test_masked_loss_ignores_mesh_padded_rows():
+    """Zero-padded tail-batch rows (mesh _pad_batch) must not dilute the loss:
+    loss(batch + padded rows) == loss(batch)."""
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.train.losses import masked_sparse_ce
+
+    rng = np.random.default_rng(3)
+    real = np.array([[1, 4, 2, 0], [1, 5, 3, 2]], np.int32)   # (2, 4)
+    logits = rng.standard_normal((2, 4, 7)).astype(np.float32)
+    base = float(masked_sparse_ce(jnp.asarray(real), jnp.asarray(logits)))
+
+    padded_real = np.concatenate([real, np.zeros((3, 4), np.int32)])
+    padded_logits = np.concatenate(
+        [logits, rng.standard_normal((3, 4, 7)).astype(np.float32)]
+    )
+    padded = float(masked_sparse_ce(jnp.asarray(padded_real), jnp.asarray(padded_logits)))
+    np.testing.assert_allclose(padded, base, rtol=1e-6)
+
+    # reference-shaped batches (every row a real caption): plain mean semantics
+    ce = -np.take_along_axis(
+        np.asarray(jnp.log(jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True))),
+        real[..., None], axis=-1,
+    )[..., 0]
+    expected = (ce * (real != 0)).mean()
+    np.testing.assert_allclose(base, expected, rtol=1e-5)
+
+
+def test_prefetcher_releases_producer_on_close():
+    """A consumer abandoning the iterator mid-epoch must release the producer
+    thread (it used to block forever in q.put, pinning decoded batches)."""
+    import itertools
+    import time
+
+    from fpn_mt_image_captioning_tpu.data.dataset import _Prefetcher
+
+    pf = _Prefetcher(iter(itertools.count()), depth=2)
+    assert next(pf) == 0
+    thread = pf._t
+    pf.close()
+    thread.join(timeout=5)
+    assert not thread.is_alive()
+
+    # GC of an abandoned iterator triggers the same release
+    pf2 = _Prefetcher(iter(itertools.count()), depth=2)
+    thread2 = pf2._t
+    next(pf2)
+    del pf2
+    deadline = time.monotonic() + 5
+    while thread2.is_alive() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not thread2.is_alive()
+
+
 def test_config_derived_properties():
     cfg = Config(image_input_size=512, epochs=100)
     assert cfg.input_vocab_size == 1024   # ceil(512/16)^2 (pipeline.py:20)

@@ -92,6 +92,59 @@ def test_fused_matches_xla_decode(setup, rng):
         src_local = src_local.at[:, t + 1].set(own % BEAM)
 
 
+@pytest.mark.parametrize("activation", ["relu", "gelu"])
+def test_fused_respects_config_activation(rng, activation):
+    """The kernel implements Config.activation itself (it used to hardcode
+    leaky_relu, silently serving the wrong nonlinearity for models trained
+    with --activation=relu/gelu); beam_search passes model.activation."""
+    model = Transformer(
+        num_layers=NL, d_model=D, num_heads=H, dff=DFF,
+        input_vocab_size=16, target_vocab_size=VOCAB, max_seq_len=MAX_LEN + 1,
+        activation=activation,
+    )
+    enc = jax.random.normal(rng, (B, 4, D))
+    tar = jnp.ones((B, 4), dtype=jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, enc, tar, False, None)
+    params = variables["params"]
+    packed = pack_decoder_weights(params, NL, dtype=jnp.float32)
+    lpad = round_up(MAX_LEN + 1, 8)
+
+    enc_tiled = jnp.repeat(enc, BEAM, axis=0)
+    xla_cache = model.apply(variables, enc_tiled, lpad, method=Transformer.init_cache)
+    fused_cache = init_fused_cache(packed, enc, BEAM, MAX_LEN)
+
+    emb_table = np.asarray(params["decoder"]["embedding"]["embedding"])
+    pe = raw_positional_encoding(MAX_LEN + 1, D)
+    own = jnp.arange(BK, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(own[:, None], (BK, lpad))
+    src_local = jnp.broadcast_to((own % BEAM)[:, None], (BK, lpad))
+
+    tokens = jax.random.randint(rng, (BK,), 1, VOCAB)
+    xla_logits, _ = model.apply(
+        variables, tokens, jnp.int32(0), xla_cache, src_flat,
+        method=Transformer.decode_step,
+    )
+    x_emb = jnp.asarray(emb_table[np.asarray(tokens)] + pe[0])
+    topk = 5
+    kw = dict(num_layers=NL, beam=BEAM, num_heads=H, topk=topk, interpret=True)
+    top_s, top_i, _ = fused_decode_step(
+        packed, fused_cache, x_emb, src_local.T, jnp.int32(0),
+        jnp.zeros((BK, 1)), jnp.zeros((BK, 1)), activation=activation, **kw,
+    )
+    expected = jax.nn.log_softmax(np.asarray(xla_logits), axis=-1)
+    exp_s, exp_i = jax.lax.top_k(jnp.asarray(expected), topk)
+    np.testing.assert_allclose(np.asarray(top_s[:, :topk]), np.asarray(exp_s), atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(top_i[:, :topk]), np.asarray(exp_i))
+
+    # the old hardcoded leaky_relu must now visibly disagree with this model
+    wrong_s, _, _ = fused_decode_step(
+        packed, init_fused_cache(packed, enc, BEAM, MAX_LEN), x_emb, src_local.T,
+        jnp.int32(0), jnp.zeros((BK, 1)), jnp.zeros((BK, 1)),
+        activation="leaky_relu", **kw,
+    )
+    assert float(np.abs(np.asarray(wrong_s[:, :topk]) - np.asarray(exp_s)).max()) > 1e-3
+
+
 def test_fused_matches_xla_multichunk(rng):
     """Positions spanning several 8-slot history chunks: the chunk-gated DMA,
     ancestry matmuls, and context accumulation must agree with XLA at every

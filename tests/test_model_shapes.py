@@ -146,3 +146,37 @@ def test_transformer_end_to_end_shapes(rng):
             variables, tar[:, t], jnp.int32(t), cache, method=Transformer.decode_step
         )
         np.testing.assert_allclose(step_logits, logits_full[:, t], atol=2e-4)
+
+
+def test_remat_encoder_matches_non_remat_gradients(rng):
+    """remat_encoder must be numerics-neutral: identical loss AND gradients in
+    train mode (it used to crash — raw jax.checkpoint over a Flax bound method
+    leaked init tracers and traced the Python `deterministic` bool)."""
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.train.losses import masked_sparse_ce
+
+    kw = dict(
+        num_layers=2, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=(64 // 16) ** 2, target_vocab_size=30, max_seq_len=8,
+    )
+    base = Transformer(**kw)
+    remat = Transformer(remat_encoder=True, **kw)
+
+    img = jax.random.uniform(rng, (2, 64, 64, 3), minval=-1, maxval=1)
+    tar = jnp.ones((2, 7), dtype=jnp.int32)
+    mask = create_masks(tar)
+    variables = base.init({"params": rng, "dropout": rng}, img, tar, True, mask)
+
+    def loss_fn(model, params):
+        (logits, _), _ = model.apply(
+            {**variables, "params": params}, img, tar, True, mask,
+            rngs={"dropout": jax.random.PRNGKey(5)}, mutable=["batch_stats"],
+        )
+        return masked_sparse_ce(tar, logits)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(base, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(remat, p))(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g0, g1
+    )
