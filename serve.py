@@ -1,0 +1,295 @@
+"""HTTP serving endpoint with dynamic batching — the online-serving surface.
+
+No reference counterpart (``/root/reference/test.py`` captions one image per
+process run); this is the production companion to ``caption.py`` (offline
+batch): a stdlib-only HTTP server that coalesces concurrent single-image
+requests into fixed-size device batches so online traffic rides the same
+batch-64 × beam-8 fused-decode program as offline serving.
+
+Design (TPU-first):
+  * ONE compiled program. Every device batch is padded to ``--serve_batch``
+    (default ``Config.decode_batch``), so the server never triggers a
+    recompile — arbitrary request arrival patterns reuse the warm executable
+    (XLA retraces per shape; a naive variable-size batcher would compile B
+    distinct programs and stall requests for minutes each).
+  * Dynamic batching. The batcher thread takes the first queued request, then
+    drains up to batch-1 more within ``--max_delay_ms`` (default 10) — at low
+    traffic a request pays at most the delay window; at high traffic batches
+    fill instantly and throughput approaches bench.py's batch-64 slope.
+  * Host/device overlap. Image decode happens on the HTTP handler threads
+    (ThreadingHTTPServer), tokenizer detokenization on the batcher thread;
+    the device only sees ready (B, S, S, 3) arrays.
+
+Endpoints:
+  POST /caption            image bytes (PNG/JPEG/anything PIL reads) in the
+                           body → {"caption": str, "tokens": int}
+  GET  /healthz            liveness + model/config info
+  GET  /stats              request/batch counters, batch-fill histogram,
+                           rolling latency percentiles
+
+Usage:
+  python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
+                  [--beam_search_n=8] [any Config --key=value override]
+
+Load-test locally with e.g.:
+  for i in $(seq 64); do curl -s -XPOST --data-binary @img.png \
+      http://localhost:8500/caption & done; wait
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from fpn_mt_image_captioning_tpu.config import Config
+from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info
+from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+from fpn_mt_image_captioning_tpu.utils.profiling import StepTimer
+
+
+def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
+    """Decode → RGB → bilinear resize → [-1, 1] float32 (HTTP-body variant of
+    ``data/dataset.py:load_image`` — same semantics, in-memory source)."""
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGB")
+        if im.size != (image_size, image_size):
+            im = im.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.float32)
+    return arr / 127.5 - 1.0
+
+
+class DynamicBatcher:
+    """Coalesces submitted images into fixed-size ``Pipeline.predict_batch``
+    calls on a dedicated thread; callers get a Future of the caption string."""
+
+    def __init__(self, pipeline: Pipeline, batch: int, max_delay_ms: float,
+                 beam_n: int | None = None):
+        self.pipeline = pipeline
+        self.batch = batch
+        self.max_delay_s = max_delay_ms / 1000.0
+        self.beam_n = beam_n
+        self._queue: list[tuple[np.ndarray, Future]] = []
+        self._lock = threading.Condition()
+        self._closed = False
+        self.stats = {
+            "requests": 0, "batches": 0, "images_padded": 0, "errors": 0,
+        }
+        self.timer = StepTimer(window=512)  # device time per batch
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, img: np.ndarray) -> Future:
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append((img, fut))
+            self.stats["requests"] += 1
+            self._lock.notify()
+        return fut
+
+    def _take_batch(self):
+        """Block for the first request, then fill until the batch is full or
+        ``max_delay_s`` has elapsed since the first arrival."""
+        with self._lock:
+            while not self._queue and not self._closed:
+                self._lock.wait(timeout=0.2)
+            if not self._queue:
+                return None  # closed and drained
+            deadline = time.monotonic() + self.max_delay_s
+            while len(self._queue) < self.batch and not self._closed:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._lock.wait(timeout=remaining)
+            items, self._queue = self._queue[: self.batch], self._queue[self.batch:]
+            return items
+
+    def _worker(self):
+        while True:
+            items = self._take_batch()
+            if items is None:
+                return
+            imgs = np.stack([im for im, _ in items])
+            pad = self.batch - len(items)
+            if pad:  # fixed compiled shape: pad the tail, decode rows discarded
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                )
+            try:
+                self.timer.start()
+                seqs, lengths = self.pipeline.predict_batch(imgs, beam_n=self.beam_n)
+                self.timer.stop()
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result(
+                        (self.pipeline.to_caption(seqs[i], lengths[i]), int(lengths[i]))
+                    )
+            except BaseException as e:  # noqa: BLE001 - all callers must unblock
+                self.stats["errors"] += 1
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.stats["batches"] += 1
+            self.stats["images_padded"] += pad
+
+    def close(self):
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+        self._thread.join(timeout=30)
+        # unblock any requests that raced the close
+        for _, fut in self._queue:
+            if not fut.done():
+                fut.set_exception(RuntimeError("server shutting down"))
+        self._queue = []
+
+
+class CaptionServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, pipeline: Pipeline, cfg: Config, batch: int,
+                 max_delay_ms: float, request_timeout_s: float = 600.0):
+        self.pipeline = pipeline
+        self.cfg = cfg
+        self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms)
+        self.request_timeout_s = request_timeout_s
+        super().__init__(addr, _Handler)
+
+    def close(self):
+        self.batcher.close()
+        self.pipeline.close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server: CaptionServer
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet: stats live at /stats
+        pass
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/healthz":
+            import jax
+
+            self._reply(200, {
+                "status": "ok",
+                "backend": jax.default_backend(),
+                "serve_batch": srv.batcher.batch,
+                "beam": srv.cfg.beam_search_n,
+                "image_size": srv.cfg.image_input_size,
+            })
+        elif self.path == "/stats":
+            st = dict(srv.batcher.stats)
+            done = st["batches"] * srv.batcher.batch - st["images_padded"]
+            st["mean_batch_fill"] = round(
+                done / st["batches"], 2) if st["batches"] else 0.0
+            st["device_batch_ms"] = {
+                k: round(v, 2) for k, v in srv.batcher.timer.summary().items()
+            }
+            self._reply(200, st)
+        else:
+            self._reply(404, {"error": f"no such path {self.path}"})
+
+    def do_POST(self):
+        if self.path.split("?")[0] != "/caption":
+            self._reply(404, {"error": f"no such path {self.path}"})
+            return
+        srv = self.server
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if not length:
+                self._reply(400, {"error": "empty body; POST raw image bytes"})
+                return
+            data = self.rfile.read(length)
+            img = decode_image_bytes(data, srv.cfg.image_input_size)
+        except Exception as e:
+            self._reply(400, {"error": f"undecodable image: {e}"})
+            return
+        try:
+            t0 = time.perf_counter()
+            caption, ntok = srv.batcher.submit(img).result(
+                timeout=srv.request_timeout_s
+            )
+            self._reply(200, {
+                "caption": caption, "tokens": ntok,
+                "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
+            })
+        except Exception as e:
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
+                serve_batch: int | None = None, max_delay_ms: float = 10.0,
+                pipeline: Pipeline | None = None) -> CaptionServer:
+    """Build (but don't run) the server; tests use port=0 + serve_forever in a
+    thread. ``pipeline=None`` loads tokenizer + latest checkpoint per Config."""
+    if pipeline is None:
+        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        pipeline = Pipeline(
+            cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
+            max_seq_len, cfg,
+        )
+    batch = serve_batch or max(cfg.decode_batch, 1)
+    return CaptionServer((host, port), pipeline, cfg, batch, max_delay_ms)
+
+
+def main(argv: list[str]) -> None:
+    host, port, serve_batch, max_delay_ms = "0.0.0.0", 8500, None, 10.0
+    passthrough = []
+    for arg in argv:
+        if arg.startswith("--port="):
+            port = int(arg.split("=", 1)[1])
+        elif arg.startswith("--host="):
+            host = arg.split("=", 1)[1]
+        elif arg.startswith("--serve_batch="):
+            serve_batch = int(arg.split("=", 1)[1])
+        elif arg.startswith("--max_delay_ms="):
+            max_delay_ms = float(arg.split("=", 1)[1])
+        else:
+            passthrough.append(arg)
+    cfg = Config.from_flags(passthrough)
+    server = make_server(cfg, host, port, serve_batch, max_delay_ms)
+
+    # warm-up: compile the fixed-shape encode + decode programs before
+    # accepting traffic (a cold compile through the TPU tunnel takes minutes —
+    # better spent before the first request than inside it)
+    warm = np.zeros(
+        (server.batcher.batch, cfg.image_input_size, cfg.image_input_size, 3),
+        np.float32,
+    )
+    t0 = time.perf_counter()
+    server.pipeline.predict_batch(warm)
+    print(f"warm-up compile done in {time.perf_counter() - t0:.1f}s")
+
+    print(f"serving on http://{host}:{port}  "
+          f"(batch={server.batcher.batch}, beam={cfg.beam_search_n}, "
+          f"delay={max_delay_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

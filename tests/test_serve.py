@@ -1,0 +1,137 @@
+"""HTTP serving endpoint: dynamic batching, fixed compiled shape, error paths."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from fixtures import make_synthetic_dataset
+from fpn_mt_image_captioning_tpu.config import Config
+
+IMG = 256  # smallest input keeping all 5 pyramid views non-empty (SURVEY §2.3)
+
+
+def _png_bytes(seed: int, size: int = IMG) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").convert("RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    datadir = make_synthetic_dataset(str(root / "data"), n_train=4, n_val=2,
+                                     image_size=IMG)
+    cfg = Config(
+        datadir=datadir, image_input_size=IMG, batch_size=2,
+        num_layers=2, d_model=32, dff=64, num_heads=4, beam_search_n=2,
+        tokenizer_filename=str(root / "_tokenizer.json"),
+        additional_filename=str(root / "_additional.json"),
+        transformer_checkpoint_path=str(root / "ckpt"),
+        result_dir=str(root / "results"),
+        compute_dtype="float32", decode_batch=4,
+    )
+    from fpn_mt_image_captioning_tpu.data.dataset import get_coco_images_dataset
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    _, max_seq_len, _ = get_coco_images_dataset(
+        cfg.datadir, cfg.datatype_train, config=cfg
+    )
+    pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
+                        max_seq_len, config=cfg)
+
+    import serve
+
+    srv = serve.make_server(cfg, port=0, serve_batch=4, max_delay_ms=150.0,
+                            pipeline=pipeline)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv, base
+    srv.shutdown()
+    srv.close()
+
+
+def _post(base: str, body: bytes):
+    req = urllib.request.Request(base + "/caption", data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    _, base = server
+    status, payload = _get(base, "/healthz")
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert payload["serve_batch"] == 4
+
+
+def test_single_request_captions(server):
+    _, base = server
+    status, payload = _post(base, _png_bytes(0))
+    assert status == 200
+    assert isinstance(payload["caption"], str)
+    assert payload["tokens"] >= 0
+    assert payload["latency_ms"] > 0
+
+
+def test_concurrent_requests_are_batched(server):
+    srv, base = server
+    before = dict(srv.batcher.stats)
+    n = 8  # two full batches of 4 at most; coalescing should need <= 3
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        results = list(pool.map(lambda i: _post(base, _png_bytes(i)), range(n)))
+    assert all(status == 200 for status, _ in results)
+    assert all(isinstance(p["caption"], str) for _, p in results)
+    batches = srv.batcher.stats["batches"] - before["batches"]
+    assert 2 <= batches <= n - 1, f"no coalescing happened ({batches} batches for {n})"
+
+    status, stats = _get(base, "/stats")
+    assert status == 200
+    assert stats["requests"] >= n
+    assert stats["mean_batch_fill"] > 1.0
+    assert stats["errors"] == 0
+
+
+def test_identical_captions_offline_and_online(server):
+    """The server must return exactly what offline predict_batch returns."""
+    srv, base = server
+    png = _png_bytes(42)
+    _, payload = _post(base, png)
+
+    import serve
+
+    img = serve.decode_image_bytes(png, IMG)
+    seqs, lengths = srv.pipeline.predict_batch(img[None])
+    assert payload["caption"] == srv.pipeline.to_caption(seqs[0], lengths[0])
+
+
+def test_bad_image_is_400(server):
+    _, base = server
+    req = urllib.request.Request(
+        base + "/caption", data=b"this is not an image", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc_info.value.code == 400
+
+
+def test_unknown_path_is_404(server):
+    _, base = server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(base + "/nope", timeout=60)
+    assert exc_info.value.code == 404
