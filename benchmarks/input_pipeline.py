@@ -89,13 +89,13 @@ def bench_loader(paths, size, workers, repeats, use_native):
     return len(paths) / best
 
 
-def bench_pipeline(paths, size, batch, workers, repeats):
+def bench_pipeline(paths, size, batch, workers, repeats, cache_path=None):
     from fpn_mt_image_captioning_tpu.data.dataset import CocoCaptionDataset
 
     caps = np.ones((len(paths), 60), np.int32)
     ds = CocoCaptionDataset(
         paths, caps, batch_size=batch, image_size=size,
-        drop_remainder=True, num_workers=workers,
+        drop_remainder=True, num_workers=workers, cache_path=cache_path,
     )
     best = float("inf")
     for _ in range(repeats + 1):  # first epoch warms caches
@@ -127,6 +127,8 @@ def main():
         paths = make_corpus(root, args.n, args.src_size)
         disk_mb = sum(os.path.getsize(p) for p in paths) / 1e6
 
+        args.batch = min(args.batch, args.n)  # drop_remainder needs >= 1 batch
+
         rows = []
         if native_loader.available():
             rows.append(("native", bench_loader(
@@ -135,6 +137,11 @@ def main():
             paths, args.size, args.workers, args.repeats, use_native=False)))
         rows.append(("pipeline", bench_pipeline(
             paths, args.size, args.batch, args.workers, args.repeats)))
+        # the decoded-image cache (Config.dataset_cache): epoch 1 decodes once,
+        # the measured epochs stream from the uint8 memmap
+        rows.append(("pipeline+cache", bench_pipeline(
+            paths, args.size, args.batch, args.workers, args.repeats,
+            cache_path=os.path.join(root, "_decoded_cache"))))
 
         for name, rate in rows:
             print(json.dumps({

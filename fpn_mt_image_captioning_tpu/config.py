@@ -121,6 +121,12 @@ class Config:
                                             # flagship dims (batch 64 x beam 8;
                                             # batch 128 hits 125M scoped VMEM vs the
                                             # 110M limit). 0 disables chunking.
+    dataset_cache: str = ""                 # decoded-image disk cache (the tf.data
+                                            # ``.cache()`` equivalent): path prefix
+                                            # for a uint8 memmap of the training
+                                            # images after decode+resize — epoch 1
+                                            # pays the PNG decode once, epochs 2+
+                                            # stream at memory bandwidth. Empty = off
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     remat_encoder: bool = False             # jax.checkpoint over encoder layers
     profile_dir: str = ""                   # capture a jax.profiler device trace of

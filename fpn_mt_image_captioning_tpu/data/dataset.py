@@ -51,6 +51,7 @@ __all__ = [
     "get_coco_images_captions_generator",
     "load_image_batch",
     "CocoCaptionDataset",
+    "DecodedImageCache",
     "COCO_Images_ImageID",
     "store_additional_info",
     "load_additional_info",
@@ -105,6 +106,94 @@ def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         imgs = list(pool.map(lambda p: load_image(p, None, image_size)[0], paths))
     return np.stack(imgs)
+
+
+class DecodedImageCache:
+    """Disk cache of decoded+resized images — the tf.data ``.cache()``
+    equivalent (the reference's pipeline re-decodes every PNG every epoch,
+    ``/root/reference/dataset.py:89-92``; so does ours without this).
+
+    PNG inflate + resize dominates host input cost (~330 ms/image/core at
+    IU X-ray sizes — ``benchmarks/input_pipeline.py``); a multi-epoch training
+    run pays it once here, then every later epoch streams from a uint8 memmap
+    at memory bandwidth.
+
+    Layout: ``<path>.bin`` — (N, S, S, 3) uint8, C-order — plus ``<path>.json``,
+    a manifest carrying the image size and a fingerprint of the exact file list
+    (paths + sizes + mtimes). Any mismatch — different files, different order,
+    touched images, different size — rebuilds; the manifest is written only
+    after a complete build, so an interrupted build is invalid, never stale.
+
+    Precision: pixels are stored as uint8 — bit-identical to the PIL decode
+    path (PIL's bilinear resize itself emits uint8). The native C++ loader
+    keeps float precision through its resize, so cached reads may differ from
+    it by at most half an 8-bit quantum (0.5/127.5 in [-1, 1] units) — the
+    same quantization every source image already went through once.
+    """
+
+    def __init__(self, path: str, img_paths: list[str], image_size: int,
+                 num_workers: int = 16):
+        self.bin_path = path + ".bin"
+        self.manifest_path = path + ".json"
+        self.img_paths = img_paths
+        self.image_size = image_size
+        self.num_workers = num_workers
+        self._mm: np.memmap | None = None
+
+    def _fingerprint(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(str(self.image_size).encode())
+        for p in self.img_paths:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        return h.hexdigest()
+
+    @property
+    def shape(self) -> tuple[int, int, int, int]:
+        s = self.image_size
+        return (len(self.img_paths), s, s, 3)
+
+    def valid(self) -> bool:
+        try:
+            with open(self.manifest_path) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (
+            manifest.get("fingerprint") == self._fingerprint()
+            and os.path.getsize(self.bin_path) == int(np.prod(self.shape))
+        )
+
+    def build(self, chunk: int = 64) -> None:
+        os.makedirs(os.path.dirname(self.bin_path) or ".", exist_ok=True)
+        mm = np.memmap(self.bin_path, dtype=np.uint8, mode="w+", shape=self.shape)
+        for start in range(0, len(self.img_paths), chunk):
+            batch = self.img_paths[start : start + chunk]
+            imgs = load_image_batch(batch, self.image_size, self.num_workers)
+            mm[start : start + len(batch)] = np.clip(
+                np.rint((imgs + 1.0) * 127.5), 0, 255
+            ).astype(np.uint8)
+        mm.flush()
+        del mm
+        with open(self.manifest_path, "w") as f:
+            json.dump(
+                {"fingerprint": self._fingerprint(), "shape": self.shape}, f
+            )
+
+    def ensure(self) -> None:
+        if self._mm is None:
+            if not self.valid():
+                self.build()
+            self._mm = np.memmap(
+                self.bin_path, dtype=np.uint8, mode="r", shape=self.shape
+            )
+
+    def read(self, idxs: list[int]) -> np.ndarray:
+        """Batch of images as float32 in [-1, 1] (same formula as decode)."""
+        self.ensure()
+        return self._mm[idxs].astype(np.float32) / 127.5 - 1.0
 
 
 class _Prefetcher:
@@ -190,6 +279,7 @@ class CocoCaptionDataset:
         shard_count: int = 1,
         shard_index: int = 0,
         num_workers: int = 16,
+        cache_path: str | None = None,
     ):
         assert len(img_paths) == len(captions_token)
         if shard_count > 1:
@@ -204,6 +294,13 @@ class CocoCaptionDataset:
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
         self._epoch = 0
+        self._cache = None
+        if cache_path:
+            if shard_count > 1:  # each shard caches only its own slice
+                cache_path = f"{cache_path}.shard{shard_index}of{shard_count}"
+            self._cache = DecodedImageCache(
+                cache_path, img_paths, image_size, num_workers
+            )
 
     def __len__(self) -> int:
         n = len(self.img_paths)
@@ -232,11 +329,14 @@ class CocoCaptionDataset:
                 idxs = order[start : start + self.batch_size]
                 if self.drop_remainder and len(idxs) < self.batch_size:
                     break
-                imgs = load_image_batch(
-                    [self.img_paths[i] for i in idxs],
-                    self.image_size,
-                    self.num_workers,
-                )
+                if self._cache is not None:
+                    imgs = self._cache.read(idxs)
+                else:
+                    imgs = load_image_batch(
+                        [self.img_paths[i] for i in idxs],
+                        self.image_size,
+                        self.num_workers,
+                    )
                 yield imgs, self.captions_token[idxs]
 
         return _Prefetcher(gen(), depth=2)
@@ -295,6 +395,7 @@ def get_coco_images_dataset(
         image_size=cfg.image_input_size,
         shuffle_buffer=cfg.buffer_size,
         seed=cfg.seed,
+        cache_path=cfg.dataset_cache or None,
     )
     return dataset, max_seq_len, set_len
 
