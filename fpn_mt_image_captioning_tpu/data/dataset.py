@@ -388,6 +388,11 @@ def get_coco_images_dataset(
         os.path.join(dataDir, "images", dataType, img["file_name"]) for img in imgs
     ]
 
+    # multi-host: each process decodes only its own slice of the corpus
+    # (identity single-process; parallel/multihost.py)
+    from ..parallel.multihost import process_shard
+
+    shard_index, shard_count = process_shard()
     dataset = CocoCaptionDataset(
         img_paths,
         captions_token,
@@ -396,6 +401,8 @@ def get_coco_images_dataset(
         shuffle_buffer=cfg.buffer_size,
         seed=cfg.seed,
         cache_path=cfg.dataset_cache or None,
+        shard_count=shard_count,
+        shard_index=shard_index,
     )
     return dataset, max_seq_len, set_len
 

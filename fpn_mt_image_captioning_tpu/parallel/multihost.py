@@ -1,0 +1,113 @@
+"""Multi-host (multi-process) wiring over the JAX distributed runtime.
+
+The reference has no distributed story at all (SURVEY.md §2.5/§5.8 — single
+GPU, no communication backend). The TPU-native scale-out path is one process
+per host, a single GLOBAL mesh over every chip in the slice (ICI) or across
+slices (DCN), per-process input sharding, and XLA-inserted collectives — no
+transport API surface. This module is the only process-topology-aware code in
+the framework; everything else sees a global mesh and global arrays.
+
+How the pieces compose on a pod:
+
+  * ``maybe_initialize()`` — call once at entry (train.py does) before any
+    device query; brings up ``jax.distributed`` so ``jax.devices()`` is global.
+  * ``process_shard()`` — (index, count) for input-pipeline sharding;
+    ``get_coco_images_dataset`` applies it automatically so each host decodes
+    only its own slice of the corpus.
+  * ``globalize_batch(sharding, local)`` — assembles the global batch array
+    from each process' host-local rows (``Pipeline.train_step`` under a mesh).
+  * ``gather_rows(local_rows)`` — inverse direction for decode outputs: every
+    process receives the full (global-batch) result rows.
+
+Single-process behavior is the identity for all of these — the same entry
+scripts run unmodified from one chip to a pod.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+__all__ = [
+    "maybe_initialize",
+    "process_shard",
+    "is_primary",
+    "globalize_batch",
+    "gather_rows",
+]
+
+_initialized = False
+
+# Env that marks an explicit multi-process launch. JAX also auto-detects TPU
+# pod topologies, but gating on explicit env keeps single-host runs (and CPU
+# test processes) away from the distributed runtime entirely.
+_COORD_ENV = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+
+
+def maybe_initialize() -> bool:
+    """Initialize ``jax.distributed`` when a multi-process launch is declared
+    via env (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``, else TPU-pod auto-detection]). No-op (False) on
+    single-host runs; idempotent."""
+    global _initialized
+    if _initialized:
+        return True
+    coord = next((os.environ[k] for k in _COORD_ENV if os.environ.get(k)), None)
+    if coord is None:
+        return False
+    kwargs = {"coordinator_address": coord}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+    return True
+
+
+def _single_process() -> bool:
+    """True when no multi-process launch is declared. Checked WITHOUT touching
+    the JAX backend: the data layer calls ``process_shard`` and must stay
+    backend-free on single-host runs (initializing the tunneled TPU backend
+    costs ~80 s and pure data jobs never need a device)."""
+    return not _initialized and not any(os.environ.get(k) for k in _COORD_ENV)
+
+
+def process_shard() -> tuple[int, int]:
+    """(shard_index, shard_count) for per-process input sharding."""
+    if _single_process():
+        return 0, 1
+    return jax.process_index(), jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the process that should write user-facing artifacts (result
+    JSON, TensorBoard events). Checkpoint saves are collective in Orbax and
+    must run on ALL processes — don't gate them on this."""
+    return _single_process() or jax.process_index() == 0
+
+
+def globalize_batch(sharding, local: np.ndarray) -> jax.Array:
+    """Assemble the global, mesh-sharded batch array from this process'
+    host-local rows. Single-process this is ``jax.device_put(local, sharding)``
+    (bitwise the same array); multi-process the global batch is the
+    concatenation of every process' local rows along axis 0, laid out on the
+    global mesh without any cross-host copy of pixel data."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def gather_rows(local_rows: np.ndarray) -> np.ndarray:
+    """Give every process the full set of batch rows (concatenation of each
+    process' ``local_rows`` in process order). Identity single-process; uses a
+    host-level allgather otherwise. Decode outputs are tiny (token ids), so
+    this stays well under DCN bandwidth."""
+    if jax.process_count() == 1:
+        return np.asarray(local_rows)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(local_rows))
+    return np.reshape(gathered, (-1, *np.shape(local_rows)[1:]))

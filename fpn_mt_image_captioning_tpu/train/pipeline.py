@@ -208,12 +208,27 @@ class Pipeline:
         Under a mesh, the batch is zero-padded to a multiple of the data-axis
         size; padded rows carry all-zero captions, so the masked loss (and its
         gradients) ignore them entirely — only BatchNorm running statistics see
-        the padding, and only on non-divisible tail batches."""
+        the padding, and only on non-divisible tail batches.
+
+        Multi-host (``jax.process_count() > 1``): ``img``/``caption_token`` are
+        this process' HOST-LOCAL rows (the input pipeline shards the corpus per
+        process); the global batch is assembled over the mesh without any
+        cross-host pixel copy (``parallel/multihost.py``). Local row counts
+        must match across processes — use equal shards + drop_remainder, or
+        rely on the per-process pad below for the tail."""
         img = np.asarray(img)
         caption_token = np.asarray(caption_token, np.int32)
         if self.mesh is not None:
             img, _ = self._pad_batch(img)
             caption_token, _ = self._pad_batch(caption_token)
+            if jax.process_count() > 1:
+                from ..parallel.mesh import data_sharding
+                from ..parallel.multihost import globalize_batch
+
+                img = globalize_batch(data_sharding(self.mesh, 4), img)
+                caption_token = globalize_batch(
+                    data_sharding(self.mesh, 2), caption_token
+                )
         img = jnp.asarray(img)
         caption_token = jnp.asarray(caption_token, jnp.int32)
         self.state, loss = self._train_step(self.state, img, caption_token)
@@ -302,6 +317,17 @@ class Pipeline:
         per-launch VMEM ceiling (512 rows at flagship dims)."""
         cfg = self.config
         beam_n = cfg.beam_search_n if beam_n is None else beam_n
+        if jax.process_count() > 1:
+            # Multi-host DECODE is deliberately unsupported: assembling a
+            # global batch from per-process rows and re-ordering the gathered
+            # outputs is easy to get silently wrong and impossible to validate
+            # without a real multi-process launch. Training scales multi-host
+            # (parallel/multihost.py); run eval/serving on one host — 100 val
+            # images decode in <10 s at the measured single-chip rate.
+            raise NotImplementedError(
+                "predict_batch under a multi-process runtime: run evaluation "
+                "on a single host (see parallel/multihost.py)"
+            )
         images = np.asarray(images)
         n_real = images.shape[0]
         limit = cfg.max_decode_rows

@@ -30,6 +30,15 @@ from fpn_mt_image_captioning_tpu.utils.tensorboard import ScalarLogger, SummaryW
 
 
 def main(cfg: Config) -> None:
+    # multi-host: bring up the distributed runtime (no-op single-host) so the
+    # mesh below spans every chip in the slice; the input pipeline then shards
+    # per process automatically (parallel/multihost.py)
+    from fpn_mt_image_captioning_tpu.parallel.multihost import (
+        is_primary,
+        maybe_initialize,
+    )
+
+    maybe_initialize()
     val_datasets = COCO_Images_ImageID(
         cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
         image_size=cfg.image_input_size,
@@ -50,8 +59,14 @@ def main(cfg: Config) -> None:
 
         current_time = datetime.now().strftime("%Y%m%d-%H%M%S")
         log_dir = f"logs/transformer/{current_time}/train"
-        writer = SummaryWriter(log_dir)
-        jsonl = ScalarLogger(os.path.join(log_dir, "scalars.jsonl"))
+        if is_primary():  # one TB/JSONL stream per run, not per host
+            writer = SummaryWriter(log_dir)
+            jsonl = ScalarLogger(os.path.join(log_dir, "scalars.jsonl"))
+        else:  # pragma: no cover - requires a real multi-process launch
+            class _Null:
+                def scalar(self, *a, **k): pass
+                def close(self): pass
+            writer = jsonl = _Null()
 
         start_epoch = 0
         if master.ckpt_manager.latest_step is not None:
@@ -93,6 +108,16 @@ def main(cfg: Config) -> None:
                 jsonl.scalar("loss", mean_loss, epoch)
 
                 if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
+                    import jax
+
+                    if jax.process_count() > 1:
+                        # multi-host: beam-search eval is single-host-only (see
+                        # Pipeline.predict_batch); checkpoint ungated so pods
+                        # still save, and CIDEr-eval offline on one host
+                        master.ckpt_manager.save(epoch + 1, master.state)
+                        print("multi-process run: checkpoint saved ungated; "
+                              "run eval-only (is_training=false) on one host")
+                        continue
                     print("Evaluating...")
                     results = master.evaluate(iter(val_datasets))
                     os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
