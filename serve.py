@@ -280,6 +280,16 @@ def main(argv: list[str]) -> None:
     server.pipeline.predict_batch(warm)
     print(f"warm-up compile done in {time.perf_counter() - t0:.1f}s")
 
+    # graceful SIGTERM (the standard orchestrator stop signal): finish
+    # in-flight batches, refuse new work, release the device
+    import signal
+    import threading
+
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=server.shutdown, daemon=True).start(),
+    )
+
     print(f"serving on http://{host}:{port}  "
           f"(batch={server.batcher.batch}, beam={cfg.beam_search_n}, "
           f"delay={max_delay_ms}ms)")
