@@ -1,0 +1,75 @@
+"""Export the serving computation as a compiled StableHLO artifact.
+
+The TPU-native replacement for the reference's "save .h5, rebuild the model in
+Python" deployment (`/root/reference/train.py:96`, `models/retinanet.py:277`):
+one directory holding the serialized serving program (encode → beam search →
+sequences, fixed batch), the weights, and the tokenizer — loadable by
+``fpn_mt_image_captioning_tpu.export.load_serving`` (or ``serve.py
+--artifact=DIR``) without constructing the model.
+
+Usage:
+  python export.py --out_dir=DIR [--batch=64] [--beam_search_n=8] [--verify]
+                   [any Config --key=value override]
+
+Loads the latest checkpoint under ``Config.transformer_checkpoint_path`` (the
+same boot path as serve.py / caption.py).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv: list[str]) -> None:
+    out_dir, batch, verify = None, None, False
+    passthrough = []
+    for arg in argv:
+        if arg.startswith("--out_dir="):
+            out_dir = arg.split("=", 1)[1]
+        elif arg.startswith("--batch="):
+            batch = int(arg.split("=", 1)[1])
+        elif arg == "--verify":
+            verify = True
+        else:
+            passthrough.append(arg)
+    if not out_dir:
+        raise SystemExit("usage: python export.py --out_dir=DIR [--batch=N] "
+                         "[--verify] [config overrides]")
+
+    from fpn_mt_image_captioning_tpu.config import Config
+    from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info
+    from fpn_mt_image_captioning_tpu.export import export_serving, load_serving
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    cfg = Config.from_flags(passthrough)
+    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    pipeline = Pipeline(
+        cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
+    )
+    try:
+        t0 = time.perf_counter()
+        meta = export_serving(pipeline, out_dir, batch=batch)
+        print(f"exported {meta['platforms']} batch={meta['batch']} "
+              f"beam={meta['beam_n']} fused={meta['fused_decoder']} to "
+              f"{out_dir} in {time.perf_counter() - t0:.1f}s")
+        if verify:
+            served = load_serving(out_dir)
+            rng = np.random.default_rng(0)
+            imgs = rng.uniform(
+                -1, 1, (meta["batch"], meta["image_size"], meta["image_size"], 3)
+            ).astype(np.float32)
+            s_ref, l_ref = pipeline.predict_batch(imgs)
+            s_art, l_art = served.predict_batch(imgs)
+            ok = bool(np.array_equal(s_ref, s_art) and np.array_equal(l_ref, l_art))
+            print(f"verify: artifact == pipeline on a random batch: {ok}")
+            if not ok:
+                raise SystemExit("verification FAILED")
+    finally:
+        pipeline.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

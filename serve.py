@@ -30,6 +30,8 @@ Endpoints:
 Usage:
   python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
                   [--beam_search_n=8] [any Config --key=value override]
+  python serve.py --artifact=DIR [...]   # serve a compiled export.py artifact
+                                         # (no model code / checkpoint needed)
 
 Load-test locally with e.g.:
   for i in $(seq 64); do curl -s -XPOST --data-binary @img.png \
@@ -254,6 +256,7 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
 
 def main(argv: list[str]) -> None:
     host, port, serve_batch, max_delay_ms = "0.0.0.0", 8500, None, 10.0
+    artifact = None
     passthrough = []
     for arg in argv:
         if arg.startswith("--port="):
@@ -264,10 +267,29 @@ def main(argv: list[str]) -> None:
             serve_batch = int(arg.split("=", 1)[1])
         elif arg.startswith("--max_delay_ms="):
             max_delay_ms = float(arg.split("=", 1)[1])
+        elif arg.startswith("--artifact="):
+            artifact = arg.split("=", 1)[1]
         else:
             passthrough.append(arg)
     cfg = Config.from_flags(passthrough)
-    server = make_server(cfg, host, port, serve_batch, max_delay_ms)
+    pipeline = None
+    if artifact:
+        # serve a compiled export.py artifact: no model construction, no
+        # checkpoint machinery — the program, weights and tokenizer only
+        import dataclasses
+
+        from fpn_mt_image_captioning_tpu.export import load_serving
+
+        pipeline = load_serving(artifact)
+        cfg = dataclasses.replace(
+            cfg,
+            image_input_size=pipeline.image_size,
+            beam_search_n=pipeline.meta["beam_n"],
+            decode_batch=pipeline.batch,
+        )
+        serve_batch = serve_batch or pipeline.batch
+    server = make_server(cfg, host, port, serve_batch, max_delay_ms,
+                         pipeline=pipeline)
 
     # warm-up: compile the fixed-shape encode + decode programs before
     # accepting traffic (a cold compile through the TPU tunnel takes minutes —

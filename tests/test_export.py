@@ -1,0 +1,119 @@
+"""Compiled serving-artifact export (export.py / fpn_mt_image_captioning_tpu.export):
+roundtrip equality vs the live pipeline, host-side chunking onto the fixed
+exported batch, and serving the artifact over HTTP without the model."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fixtures import make_synthetic_dataset
+from fpn_mt_image_captioning_tpu.config import Config
+
+IMG = 256  # smallest input keeping all 5 pyramid views non-empty (SURVEY §2.3)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    root = tmp_path_factory.mktemp("export")
+    datadir = make_synthetic_dataset(str(root / "data"), n_train=4, n_val=2,
+                                     image_size=IMG)
+    cfg = Config(
+        datadir=datadir, image_input_size=IMG, batch_size=2,
+        num_layers=2, d_model=32, dff=64, num_heads=4, beam_search_n=2,
+        tokenizer_filename=str(root / "_tokenizer.json"),
+        additional_filename=str(root / "_additional.json"),
+        transformer_checkpoint_path=str(root / "ckpt"),
+        result_dir=str(root / "results"),
+        compute_dtype="float32", decode_batch=2,
+    )
+    from fpn_mt_image_captioning_tpu.data.dataset import get_coco_images_dataset
+    from fpn_mt_image_captioning_tpu.export import export_serving, load_serving
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    _, max_seq_len, _ = get_coco_images_dataset(
+        cfg.datadir, cfg.datatype_train, config=cfg
+    )
+    pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
+                        max_seq_len, config=cfg)
+    out_dir = str(root / "artifact")
+    meta = export_serving(pipeline, out_dir, batch=2)
+    served = load_serving(out_dir)
+    yield pipeline, served, meta, out_dir
+    pipeline.close()
+
+
+def test_artifact_layout_and_meta(exported):
+    pipeline, served, meta, out_dir = exported
+    for fname in ("serving.jaxexport", "weights.msgpack", "tokenizer.json",
+                  "artifact.json"):
+        assert os.path.exists(os.path.join(out_dir, fname))
+    assert meta["batch"] == 2 and meta["beam_n"] == 2
+    assert meta["image_size"] == IMG
+    assert meta["max_seq_len"] == pipeline.max_seq_len
+    assert meta["fused_decoder"] is False  # CPU test backend
+    with open(os.path.join(out_dir, "artifact.json")) as f:
+        assert json.load(f) == meta
+
+
+def test_roundtrip_equals_pipeline(exported):
+    """The deserialized program must reproduce the live pipeline bit-for-bit
+    (same traced computation, same weights) — including on a request batch
+    that is NOT a multiple of the exported batch (chunk + pad + trim)."""
+    pipeline, served, meta, _ = exported
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (3, IMG, IMG, 3)).astype(np.float32)
+
+    s_ref, l_ref = pipeline.predict_batch(imgs)
+    s_art, l_art = served.predict_batch(imgs)
+    np.testing.assert_array_equal(l_ref, l_art)
+    np.testing.assert_array_equal(s_ref, s_art)
+
+    caps_ref = [pipeline.to_caption(s, n) for s, n in zip(s_ref, l_ref)]
+    assert served.caption(imgs) == caps_ref
+
+
+def test_beam_mismatch_rejected(exported):
+    _, served, _, _ = exported
+    imgs = np.zeros((1, IMG, IMG, 3), np.float32)
+    with pytest.raises(ValueError, match="beam_n"):
+        served.predict_batch(imgs, beam_n=5)
+    with pytest.raises(ValueError, match="images"):
+        served.predict_batch(np.zeros((1, 64, 64, 3), np.float32))
+
+
+def test_serve_from_artifact(exported):
+    """serve.py's HTTP surface runs on the loaded artifact (no Pipeline)."""
+    import io
+
+    from PIL import Image
+
+    import serve
+
+    pipeline, served, meta, _ = exported
+    cfg_srv = Config(image_input_size=IMG, beam_search_n=meta["beam_n"],
+                     decode_batch=meta["batch"], compute_dtype="float32")
+    srv = serve.make_server(cfg_srv, port=0, serve_batch=meta["batch"],
+                            max_delay_ms=20.0, pipeline=served)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        arr = np.random.default_rng(7).integers(0, 255, (IMG, IMG), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").convert("RGB").save(buf, format="PNG")
+        req = urllib.request.Request(base + "/caption", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            payload = json.loads(r.read())
+        assert isinstance(payload["caption"], str)
+        # equality vs the offline artifact path on the same decoded image
+        img = serve.decode_image_bytes(buf.getvalue(), IMG)
+        assert payload["caption"] == served.caption(img[None])[0]
+    finally:
+        srv.shutdown()
+        srv.batcher.close()  # not srv.close(): the pipeline fixture is shared
