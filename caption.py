@@ -10,6 +10,7 @@ fused Pallas decoder (on TPU) or the XLA cached engine elsewhere.
 
     python caption.py --images=path/to/dir [--out=results/captions.json]
                       [--decode_batch=64] [--beam_search_n=8]
+                      [--artifact=DIR]   # run a compiled export.py artifact
 
 Writes a JSON list of {"file", "caption"} and prints throughput.
 """
@@ -93,13 +94,15 @@ def _write_results(results: list[dict], out_path: str | None, cfg: Config) -> st
 
 
 def main(
-    cfg: Config, images_path: str, out_path: str | None, latency_n: int = 0
+    cfg: Config, images_path: str, out_path: str | None, latency_n: int = 0,
+    pipeline=None,
 ) -> list[dict]:
     files = list_images(images_path)
-    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
-    pipeline = Pipeline(
-        cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
-    )
+    if pipeline is None:
+        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        pipeline = Pipeline(
+            cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
+        )
 
     batch = max(cfg.decode_batch, 1)
     chunks = [files[i : i + batch] for i in range(0, len(files), batch)]
@@ -179,7 +182,7 @@ def main(
 
 
 if __name__ == "__main__":
-    images, out, latency_n = None, None, 0
+    images, out, latency_n, artifact = None, None, 0, None
     passthrough = []
     for arg in sys.argv[1:]:
         if arg.startswith("--images="):
@@ -190,10 +193,28 @@ if __name__ == "__main__":
             latency_n = int(arg.split("=", 1)[1])
         elif arg == "--latency":
             latency_n = 16
+        elif arg.startswith("--artifact="):
+            artifact = arg.split("=", 1)[1]
         else:
             passthrough.append(arg)
     if images is None:
         raise SystemExit(
-            "usage: python caption.py --images=<dir-or-file> [--out=...] [--latency[=N]]"
+            "usage: python caption.py --images=<dir-or-file> [--out=...] "
+            "[--latency[=N]] [--artifact=DIR]"
         )
-    main(Config.from_flags(passthrough), images, out, latency_n=latency_n)
+    cfg = Config.from_flags(passthrough)
+    served = None
+    if artifact:
+        # serve from a compiled export.py artifact (no model construction)
+        import dataclasses
+
+        from fpn_mt_image_captioning_tpu.export import load_serving
+
+        served = load_serving(artifact)
+        cfg = dataclasses.replace(
+            cfg,
+            image_input_size=served.image_size,
+            beam_search_n=served.meta["beam_n"],
+            decode_batch=served.batch,
+        )
+    main(cfg, images, out, latency_n=latency_n, pipeline=served)

@@ -85,6 +85,28 @@ def test_beam_mismatch_rejected(exported):
         served.predict_batch(np.zeros((1, 64, 64, 3), np.float32))
 
 
+def test_caption_cli_from_artifact(exported, tmp_path):
+    """caption.py's offline batch path runs on the loaded artifact."""
+    import dataclasses
+
+    import caption
+
+    pipeline, served, meta, _ = exported
+    img_dir = os.path.join(pipeline.config.datadir, "images", "val2017")
+    cfg = dataclasses.replace(
+        pipeline.config, decode_batch=meta["batch"], result_dir=str(tmp_path)
+    )
+    out = str(tmp_path / "caps.json")
+    results = caption.main(cfg, img_dir, out, pipeline=served)
+    assert os.path.exists(out) and len(results) == 2
+    # equality vs captioning the same files through the artifact directly
+    from fpn_mt_image_captioning_tpu.data.dataset import load_image_batch
+
+    files = [r["file"] for r in results]
+    imgs = load_image_batch(files, meta["image_size"])
+    assert [r["caption"] for r in results] == served.caption(imgs)
+
+
 def test_serve_from_artifact(exported):
     """serve.py's HTTP surface runs on the loaded artifact (no Pipeline)."""
     import io
