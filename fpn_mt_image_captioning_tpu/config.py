@@ -129,6 +129,10 @@ class Config:
                                             # stream at memory bandwidth. Empty = off
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     remat_encoder: bool = False             # jax.checkpoint over encoder layers
+    export_artifact_dir: str = ""           # after training, also export the
+                                            # best checkpoint as a compiled
+                                            # serving artifact (export.py) into
+                                            # this directory; empty = off
     profile_dir: str = ""                   # capture a jax.profiler device trace of
                                             # early train steps into this TensorBoard
                                             # logdir (SURVEY §5.1); empty = off

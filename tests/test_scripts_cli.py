@@ -48,7 +48,8 @@ COMMON = [
 
 @pytest.mark.slow
 def test_train_test_show_results_flow(workspace):
-    r = run_script("train.py", COMMON, cwd=workspace)
+    r = run_script("train.py", ["--export_artifact_dir=artifact", *COMMON],
+                   cwd=workspace)
     assert r.returncode == 0, r.stderr[-3000:]
 
     # artifacts the reference contract promises
@@ -58,6 +59,10 @@ def test_train_test_show_results_flow(workspace):
     results = json.load(open(workspace / "results/val2017_captions_result.json"))
     assert len(results) == 2 and {"image_id", "caption"} <= set(results[0])
     assert (workspace / "model_weights/multimodal_transformer.msgpack").exists()
+    # post-training compiled serving artifact (Config.export_artifact_dir)
+    for fname in ("serving.jaxexport", "weights.msgpack", "tokenizer.json",
+                  "artifact.json"):
+        assert (workspace / "artifact" / fname).exists(), r.stdout[-2000:]
     # TensorBoard event files written
     logs = list((workspace / "logs/transformer").rglob("events.out.tfevents.*"))
     assert logs, "no event files"

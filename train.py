@@ -144,6 +144,18 @@ def main(cfg: Config) -> None:
         if restored is not None:
             master.state = type(master.state)(*restored)
         master.save_weights(cfg.transformer_weight_path)
+        if cfg.export_artifact_dir and is_primary():
+            from fpn_mt_image_captioning_tpu.export import export_serving
+
+            if master.mesh is not None:
+                # the artifact is a single-chip program by design (export.py);
+                # a mesh-sharded pipeline can't trace it directly
+                print("export_artifact_dir: skipped (mesh-enabled run; export "
+                      "with --mesh.enabled=false from the saved checkpoint)")
+            else:
+                meta = export_serving(master, cfg.export_artifact_dir)
+                print(f"Exported serving artifact (batch={meta['batch']}, "
+                      f"beam={meta['beam_n']}) to {cfg.export_artifact_dir}")
         writer.close()
         jsonl.close()
     else:
