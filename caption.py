@@ -98,7 +98,8 @@ def main(
     pipeline=None,
 ) -> list[dict]:
     files = list_images(images_path)
-    if pipeline is None:
+    owns_pipeline = pipeline is None
+    if owns_pipeline:
         max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
         pipeline = Pipeline(
             cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
@@ -176,7 +177,8 @@ def main(
         raise
     finally:
         prefetcher.shutdown(wait=False, cancel_futures=True)
-        pipeline.close()
+        if owns_pipeline:  # never close a caller-provided pipeline
+            pipeline.close()
 
     return results
 
@@ -206,15 +208,8 @@ if __name__ == "__main__":
     served = None
     if artifact:
         # serve from a compiled export.py artifact (no model construction)
-        import dataclasses
-
         from fpn_mt_image_captioning_tpu.export import load_serving
 
         served = load_serving(artifact)
-        cfg = dataclasses.replace(
-            cfg,
-            image_input_size=served.image_size,
-            beam_search_n=served.meta["beam_n"],
-            decode_batch=served.batch,
-        )
+        cfg = served.apply_to_config(cfg)
     main(cfg, images, out, latency_n=latency_n, pipeline=served)

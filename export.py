@@ -56,15 +56,34 @@ def main(argv: list[str]) -> None:
               f"beam={meta['beam_n']} fused={meta['fused_decoder']} to "
               f"{out_dir} in {time.perf_counter() - t0:.1f}s")
         if verify:
+            # Serialization-fidelity check: the artifact vs a direct jit of the
+            # SAME single traced program — bitwise equality holds on any
+            # backend. (Comparing against pipeline.predict_batch instead would
+            # compare two differently-fused XLA compilations; at bf16 on TPU,
+            # MXU near-ties make free-running beams diverge — CLAUDE.md — so a
+            # correct export could spuriously "fail".)
+            import jax
+            import jax.numpy as jnp
+
+            from fpn_mt_image_captioning_tpu.export import build_serving_fn
+
             served = load_serving(out_dir)
+            serve_fn = build_serving_fn(
+                pipeline.transformer,
+                beam_n=meta["beam_n"], max_len=meta["max_seq_len"],
+                start_token=meta["start_token"], end_token=meta["end_token"],
+                fused=meta["fused_decoder"],
+                pack_dtype=jnp.dtype(meta["compute_dtype"]),
+            )
             rng = np.random.default_rng(0)
             imgs = rng.uniform(
                 -1, 1, (meta["batch"], meta["image_size"], meta["image_size"], 3)
             ).astype(np.float32)
-            s_ref, l_ref = pipeline.predict_batch(imgs)
+            s_ref, l_ref = jax.jit(serve_fn)(pipeline.variables, jnp.asarray(imgs))
+            s_ref, l_ref = np.asarray(s_ref), np.asarray(l_ref)
             s_art, l_art = served.predict_batch(imgs)
             ok = bool(np.array_equal(s_ref, s_art) and np.array_equal(l_ref, l_art))
-            print(f"verify: artifact == pipeline on a random batch: {ok}")
+            print(f"verify: artifact bitwise == direct jit of the exported program: {ok}")
             if not ok:
                 raise SystemExit("verification FAILED")
     finally:

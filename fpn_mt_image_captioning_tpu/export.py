@@ -48,10 +48,14 @@ ARTIFACT_TOKENIZER = "tokenizer.json"
 ARTIFACT_VERSION = 1
 
 
-def _serving_fn(model, *, beam_n: int, max_len: int, start_token: int,
-                end_token: int, fused: bool, pack_dtype):
+def build_serving_fn(model, *, beam_n: int, max_len: int, start_token: int,
+                     end_token: int, fused: bool, pack_dtype):
     """(variables, images) → (seqs, lengths): the full serving computation,
-    mirroring ``Pipeline._predict_chunk`` (mesh-free path)."""
+    mirroring ``Pipeline._predict_chunk`` (mesh-free path). This single traced
+    function is what gets exported — and what ``--verify`` compares the
+    deserialized artifact against (same program → bitwise equality on any
+    backend; comparing against the live Pipeline's two separately-jitted
+    programs instead would trip MXU near-tie divergence at bf16, CLAUDE.md)."""
     from .decode.beam_search import beam_search
     from .models.transformer import Transformer
 
@@ -66,6 +70,29 @@ def _serving_fn(model, *, beam_n: int, max_len: int, start_token: int,
         return seqs, lengths
 
     return serve
+
+
+# kept for external callers of the pre-rename private name
+_serving_fn = build_serving_fn
+
+
+def export_with_fallback(fn, *specs):
+    """``jax.export.export`` with the Mosaic-custom-call fallback: if this jax
+    version doesn't list ``tpu_custom_call`` as stability-guaranteed, export
+    anyway with the check disabled (the artifact then pins the producing jax
+    version, recorded in the metadata). Returns (exported, check_disabled)."""
+    from jax import export as jax_export
+
+    try:
+        return jax_export.export(jax.jit(fn))(*specs), False
+    except ValueError as e:
+        if "custom call" not in str(e).lower():
+            raise
+        exported = jax_export.export(
+            jax.jit(fn),
+            disabled_checks=[jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")],
+        )(*specs)
+        return exported, True
 
 
 def export_serving(pipeline, out_dir: str, batch: int | None = None,
@@ -95,7 +122,19 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
         and jax.default_backend() == "tpu"
         and cfg.activation in FUSED_ACTIVATIONS
     )
-    serve = _serving_fn(
+    # jax.export only LOWERS — it never compiles, so an artifact whose decode
+    # rows exceed the fused kernel's per-launch VMEM ceiling would serialize
+    # fine here and die in the deployment site's warm-up compile. The live
+    # Pipeline host-chunks above this limit (predict_batch); the artifact's
+    # fixed program cannot, so reject at export time.
+    if fused and cfg.max_decode_rows and batch * beam_n > cfg.max_decode_rows:
+        raise ValueError(
+            f"export_serving: batch*beam = {batch}*{beam_n} = {batch * beam_n} "
+            f"decode rows exceeds the fused kernel's per-launch ceiling "
+            f"(Config.max_decode_rows={cfg.max_decode_rows}); export a smaller "
+            f"batch — ExportedServing chunks larger request batches host-side"
+        )
+    serve = build_serving_fn(
         pipeline.transformer,
         beam_n=beam_n, max_len=pipeline.max_seq_len,
         start_token=pipeline.start_token, end_token=pipeline.end_token,
@@ -109,20 +148,7 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
         (batch, cfg.image_input_size, cfg.image_input_size, 3), jnp.float32
     )
 
-    from jax import export as jax_export
-
-    try:
-        exported = jax_export.export(jax.jit(serve))(var_spec, img_spec)
-    except ValueError as e:
-        if "custom call" not in str(e).lower():
-            raise
-        # the Pallas kernel lowers to the Mosaic custom call; if this jax
-        # version doesn't list it as stability-guaranteed, export it anyway —
-        # the artifact then pins the producing jax version (recorded below)
-        exported = jax_export.export(
-            jax.jit(serve),
-            disabled_checks=[jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")],
-        )(var_spec, img_spec)
+    exported, check_disabled = export_with_fallback(serve, var_spec, img_spec)
 
     from flax import serialization
 
@@ -137,6 +163,7 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
         "platforms": list(exported.platforms),
+        "custom_call_check_disabled": check_disabled,
         "fused_decoder": fused,
         "batch": batch,
         "beam_n": beam_n,
@@ -183,9 +210,21 @@ class ExportedServing:
         self.batch = int(self.meta["batch"])
         self.image_size = int(self.meta["image_size"])
 
+    def apply_to_config(self, cfg):
+        """Reconcile a ``Config`` with the artifact's frozen shape choices
+        (shared by ``serve.py --artifact`` and ``caption.py --artifact``)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            cfg,
+            image_input_size=self.image_size,
+            beam_search_n=int(self.meta["beam_n"]),
+            decode_batch=self.batch,
+        )
+
     # -- Pipeline-compatible serving surface --------------------------------
     def predict_batch(self, images, beam_n: int | None = None):
-        """(B, S, S, 3) → (seqs (B, L) int32 np, lengths (B,) np). Any B:
+        """(B, S, S, 3) → (seqs (B, L) int32 np, lengths (B,) np). Any B ≥ 1:
         host-side chunked/padded onto the fixed exported batch."""
         if beam_n is not None and beam_n != self.meta["beam_n"]:
             raise ValueError(
@@ -193,6 +232,8 @@ class ExportedServing:
                 f"re-export for beam_n={beam_n}"
             )
         images = np.asarray(images, np.float32)
+        if images.shape[0] == 0:
+            raise ValueError("predict_batch: empty batch (need at least 1 image)")
         if images.shape[1:] != (self.image_size, self.image_size, 3):
             raise ValueError(
                 f"expected (B, {self.image_size}, {self.image_size}, 3) images, "

@@ -37,7 +37,10 @@ def main():
 
     from bench import build
     from fpn_mt_image_captioning_tpu.decode.beam_search import cast_for_inference
-    from fpn_mt_image_captioning_tpu.export import _serving_fn
+    from fpn_mt_image_captioning_tpu.export import (
+        build_serving_fn,
+        export_with_fallback,
+    )
     from jax import export as jax_export
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
@@ -46,7 +49,7 @@ def main():
     model, variables = build(image_size, vocab, max_len, dims, "bfloat16")
     variables = cast_for_inference(variables)
 
-    serve = _serving_fn(
+    serve = build_serving_fn(
         model, beam_n=8, max_len=max_len, start_token=1, end_token=vocab - 1,
         fused=on_tpu, pack_dtype=jnp.bfloat16,
     )
@@ -56,17 +59,7 @@ def main():
     img_spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), jnp.float32)
 
     t0 = time.time()
-    try:
-        exported = jax_export.export(jax.jit(serve))(var_spec, img_spec)
-        disabled = False
-    except ValueError as e:
-        if "custom call" not in str(e).lower():
-            raise
-        exported = jax_export.export(
-            jax.jit(serve),
-            disabled_checks=[jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")],
-        )(var_spec, img_spec)
-        disabled = True
+    exported, disabled = export_with_fallback(serve, var_spec, img_spec)
     blob = exported.serialize()
     t_export = time.time() - t0
 

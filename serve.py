@@ -276,18 +276,10 @@ def main(argv: list[str]) -> None:
     if artifact:
         # serve a compiled export.py artifact: no model construction, no
         # checkpoint machinery — the program, weights and tokenizer only
-        import dataclasses
-
         from fpn_mt_image_captioning_tpu.export import load_serving
 
         pipeline = load_serving(artifact)
-        cfg = dataclasses.replace(
-            cfg,
-            image_input_size=pipeline.image_size,
-            beam_search_n=pipeline.meta["beam_n"],
-            decode_batch=pipeline.batch,
-        )
-        serve_batch = serve_batch or pipeline.batch
+        cfg = pipeline.apply_to_config(cfg)
     server = make_server(cfg, host, port, serve_batch, max_delay_ms,
                          pipeline=pipeline)
 

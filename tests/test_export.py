@@ -83,6 +83,32 @@ def test_beam_mismatch_rejected(exported):
         served.predict_batch(imgs, beam_n=5)
     with pytest.raises(ValueError, match="images"):
         served.predict_batch(np.zeros((1, 64, 64, 3), np.float32))
+    with pytest.raises(ValueError, match="empty"):
+        served.predict_batch(np.zeros((0, IMG, IMG, 3), np.float32))
+
+
+def test_apply_to_config(exported):
+    _, served, meta, _ = exported
+    cfg = served.apply_to_config(Config())
+    assert cfg.image_input_size == meta["image_size"]
+    assert cfg.beam_search_n == meta["beam_n"]
+    assert cfg.decode_batch == meta["batch"]
+
+
+def test_vmem_ceiling_guard(exported, tmp_path, monkeypatch):
+    """A fused export whose decode rows exceed the per-launch VMEM ceiling
+    must be rejected AT EXPORT TIME (jax.export never compiles, so the
+    failure would otherwise surface only in the deployment's warm-up)."""
+    import jax
+
+    from fpn_mt_image_captioning_tpu.export import export_serving
+
+    pipeline, _, _, _ = exported
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")  # force fused
+    with pytest.raises(ValueError, match="max_decode_rows"):
+        # beam 2 * batch 512 = 1024 rows > default ceiling 512; raises before
+        # any tracing (the Pallas path would not lower on the CPU backend)
+        export_serving(pipeline, str(tmp_path / "a"), batch=512)
 
 
 def test_caption_cli_from_artifact(exported, tmp_path):

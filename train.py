@@ -153,9 +153,17 @@ def main(cfg: Config) -> None:
                 print("export_artifact_dir: skipped (mesh-enabled run; export "
                       "with --mesh.enabled=false from the saved checkpoint)")
             else:
-                meta = export_serving(master, cfg.export_artifact_dir)
-                print(f"Exported serving artifact (batch={meta['batch']}, "
-                      f"beam={meta['beam_n']}) to {cfg.export_artifact_dir}")
+                # best-effort: the weights are already saved one line above —
+                # an export failure must not turn a finished multi-hour
+                # training run into a nonzero exit with unflushed logs
+                try:
+                    meta = export_serving(master, cfg.export_artifact_dir)
+                    print(f"Exported serving artifact (batch={meta['batch']}, "
+                          f"beam={meta['beam_n']}) to {cfg.export_artifact_dir}")
+                except Exception as e:
+                    print(f"export_artifact_dir: export failed "
+                          f"({type(e).__name__}: {e}); weights are saved — "
+                          f"run export.py from the checkpoint")
         writer.close()
         jsonl.close()
     else:
