@@ -149,3 +149,106 @@ def test_two_process_distributed_runtime(tmp_path):
     # gather_rows returns ALL rows in process order on BOTH processes
     for r in reports:
         assert (r["first"], r["last"]) == (0.0, 106.0)
+
+
+_TRAIN_WORKER = r"""
+import os, sys, json
+pid = int(sys.argv[1]); port = sys.argv[2]; root = sys.argv[3]
+os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + port
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+import numpy as np
+from fpn_mt_image_captioning_tpu.config import Config, MeshConfig
+from fpn_mt_image_captioning_tpu.data.dataset import get_coco_images_dataset
+from fpn_mt_image_captioning_tpu.parallel import multihost as mh
+from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+assert mh.maybe_initialize() is True
+cfg = Config(
+    datadir=os.path.join(root, "data"), image_input_size=256, batch_size=2,
+    num_layers=1, d_model=32, dff=64, num_heads=4, beam_search_n=2,
+    tokenizer_filename=os.path.join(root, "_tokenizer.json"),
+    additional_filename=os.path.join(root, "_additional.json"),
+    transformer_checkpoint_path=os.path.join(root, "ckpt_p" + str(pid)),
+    compute_dtype="float32", decode_batch=2,
+    mesh=MeshConfig(enabled=True),
+)
+# corpus auto-shards per process: 4 images -> 2 per process -> 1 local batch
+dataset, max_seq_len, _ = get_coco_images_dataset(
+    cfg.datadir, cfg.datatype_train, config=cfg
+)
+batches = list(dataset)
+assert len(batches) == 1 and batches[0][0].shape[0] == 2
+pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
+                    max_seq_len, config=cfg)
+assert pipeline.mesh is not None and pipeline.mesh.devices.size == 8
+losses = [pipeline.train_step(img, cap) for img, cap in batches * 2]
+print(json.dumps({"pid": pid, "losses": losses,
+                  "step": int(pipeline.state.step)}))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_training(tmp_path):
+    """END-TO-END multi-host training: 2 jax.distributed processes, a global
+    8-device mesh (4 virtual CPU devices per process), per-process corpus
+    shards, and Pipeline.train_step assembling the global batch from
+    host-local rows (globalize_batch). The sharded step's loss is computed
+    over the GLOBAL batch and replicated — both processes must report the
+    identical finite loss sequence."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from fixtures import make_synthetic_dataset
+
+    root = tmp_path
+    make_synthetic_dataset(str(root / "data"), n_train=4, n_val=2, image_size=256)
+    # prep tokenizer over the FULL corpus single-process (train.py's flow), so
+    # both workers load the same vocabulary instead of fitting on their shards
+    from fpn_mt_image_captioning_tpu.config import Config
+    from fpn_mt_image_captioning_tpu.data.dataset import get_coco_images_dataset
+
+    cfg = Config(datadir=str(root / "data"), image_input_size=256, batch_size=2,
+                 tokenizer_filename=str(root / "_tokenizer.json"))
+    get_coco_images_dataset(cfg.datadir, cfg.datatype_train, config=cfg)
+
+    worker = root / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4 "
+        "--xla_cpu_collective_timeout_seconds=600 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([_sys.executable, str(worker), str(pid), port, str(root)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+
+    import json as _json
+
+    def report(out):
+        line = [l for l in out.splitlines() if l.startswith('{"pid"')][-1]
+        return _json.loads(line)
+
+    reports = sorted((report(out) for out, _ in outs), key=lambda r: r["pid"])
+    l0, l1 = reports[0]["losses"], reports[1]["losses"]
+    assert len(l0) == 2 and all(np.isfinite(l0))
+    assert l0 == l1  # replicated global-batch loss: identical on both hosts
+    assert reports[0]["step"] == reports[1]["step"] == 2
