@@ -242,6 +242,91 @@ def greedy_decode(
     return seqs, lengths
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_len", "start_token", "end_token", "top_k"),
+)
+def sample_decode(
+    model: Transformer,
+    variables: Any,
+    enc_output: jax.Array,     # (B, Lenc, d_model)
+    rng: jax.Array,            # PRNG key (folded per step)
+    *,
+    max_len: int,
+    start_token: int,
+    end_token: int,
+    temperature=1.0,           # scalar or (B,) — per-row supported (serving
+                               # batches can mix request temperatures)
+    top_k: int = 0,            # 0 = no top-k truncation (static: shapes lax.top_k)
+    top_p=1.0,                 # scalar or (B,) — nucleus truncation; 1 = off
+):
+    """Ancestral sampling with temperature / top-k / nucleus truncation on the
+    shared-KV-cache decode engine. A serving extra with no reference
+    counterpart (upstream decodes beam-only — ``utils/pipeline.py:82-154``);
+    same cache/decode_step machinery and stripped-sequence return contract as
+    ``beam_search``. ``temperature``/``top_p`` are traced (scalar or per-row)
+    so sweeping them never recompiles. Returns (seqs (B, max_len), lengths)."""
+    batch = enc_output.shape[0]
+    vocab = model.target_vocab_size
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (batch,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (batch,))
+
+    cache = model.apply(
+        variables, enc_output, max_len + 1, method=Transformer.init_cache
+    )
+    own_rows = jnp.arange(batch, dtype=jnp.int32)
+    src = jnp.broadcast_to(own_rows[:, None], (batch, max_len + 1))  # no reorder
+
+    seqs = jnp.zeros((batch, max_len), jnp.int32)
+    tokens = jnp.full((batch,), start_token, jnp.int32)
+    finished = jnp.zeros((batch,), jnp.bool_)
+
+    def cond(carry):
+        t, _, _, _, finished = carry
+        return jnp.logical_and(t < max_len, jnp.logical_not(jnp.all(finished)))
+
+    def body(carry):
+        t, tokens, cache, seqs, finished = carry
+        logits, cache = model.apply(
+            variables, tokens, t, cache, src, method=Transformer.decode_step
+        )
+        logits = logits.astype(jnp.float32) / jnp.maximum(
+            temperature[:, None], 1e-6
+        )
+        if top_k and top_k < vocab:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        # nucleus: keep the smallest prefix of the descending-prob ordering
+        # whose mass reaches top_p (the first token always survives)
+        probs = jax.nn.softmax(logits, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+        csum = jnp.cumsum(sorted_probs, axis=-1)
+        keep_sorted = (csum - sorted_probs) < top_p[:, None]  # mass BEFORE it
+        # per-row prob cutoff = smallest kept sorted prob
+        cutoff = jnp.min(
+            jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(probs < cutoff, NEG_INF, logits)
+
+        new_tokens = jax.random.categorical(jax.random.fold_in(rng, t), logits)
+        new_tokens = jnp.where(finished, 0, new_tokens.astype(jnp.int32))
+        seqs = jax.lax.dynamic_update_slice(seqs, new_tokens[:, None], (0, t))
+        finished = jnp.logical_or(finished, new_tokens == end_token)
+        return (t + 1, new_tokens, cache, seqs, finished)
+
+    carry = (jnp.int32(0), tokens, cache, seqs, finished)
+    t, _, _, seqs, _ = jax.lax.while_loop(cond, body, carry)
+
+    is_end = seqs == end_token
+    ended = jnp.any(is_end, axis=1)
+    end_pos = jnp.argmax(is_end, axis=1)
+    idx = jnp.arange(seqs.shape[1])[None, :]
+    keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
+    stripped = jnp.where(keep, seqs, 0)
+    lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
+    return stripped, lengths
+
+
 def strip_sequence(tokens, end_token: int) -> list[int]:
     """Host-side helper mirroring the reference's return contract
     (``pipeline.py:143-154``): assumes tokens exclude <start>; cut at <end>."""

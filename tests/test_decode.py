@@ -148,3 +148,83 @@ def test_teacher_forced_reforward_reproduces_decode_time_computation(small_model
         assert f"decoder_layer{model.num_layers}_block2" in attn
         a = np.asarray(attn[f"decoder_layer{model.num_layers}_block2"])
         assert a.shape == (1, model.num_heads, prefix.shape[1], enc.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# sample_decode (serving extra: temperature / top-k / nucleus sampling)
+
+
+def test_sample_decode_zero_temperature_is_greedy(small_model):
+    from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
+
+    model, variables, enc = small_model
+    g_seqs, g_lens = greedy_decode(
+        model, variables, enc, max_len=MAX_LEN, start_token=START, end_token=END
+    )
+    for kwargs in (
+        {"temperature": 1e-7},            # temperature -> 0: argmax
+        {"top_k": 1},                      # top-k=1: argmax survives alone
+        {"top_p": 1e-7},                   # nucleus -> 0: first token only
+    ):
+        s_seqs, s_lens = sample_decode(
+            model, variables, enc, jax.random.PRNGKey(0),
+            max_len=MAX_LEN, start_token=START, end_token=END, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(s_lens), np.asarray(g_lens), kwargs)
+        np.testing.assert_array_equal(np.asarray(s_seqs), np.asarray(g_seqs), kwargs)
+
+
+def test_sample_decode_deterministic_per_seed(small_model):
+    from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
+
+    model, variables, enc = small_model
+    a = sample_decode(model, variables, enc, jax.random.PRNGKey(7),
+                      max_len=MAX_LEN, start_token=START, end_token=END,
+                      temperature=1.0)
+    b = sample_decode(model, variables, enc, jax.random.PRNGKey(7),
+                      max_len=MAX_LEN, start_token=START, end_token=END,
+                      temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    # high temperature across many seeds must produce SOME variation
+    outs = {
+        np.asarray(sample_decode(
+            model, variables, enc, jax.random.PRNGKey(s),
+            max_len=MAX_LEN, start_token=START, end_token=END, temperature=3.0,
+        )[0]).tobytes()
+        for s in range(8)
+    }
+    assert len(outs) > 1
+
+
+def test_sample_decode_per_row_settings(small_model):
+    """Per-row temperature: a near-zero row reproduces greedy while its
+    neighbor samples freely — one compiled program serves mixed requests."""
+    from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
+
+    model, variables, enc = small_model
+    g_seqs, _ = greedy_decode(
+        model, variables, enc, max_len=MAX_LEN, start_token=START, end_token=END
+    )
+    s_seqs, s_lens = sample_decode(
+        model, variables, enc, jax.random.PRNGKey(11),
+        max_len=MAX_LEN, start_token=START, end_token=END,
+        temperature=jnp.asarray([1e-7, 2.0]),
+    )
+    np.testing.assert_array_equal(np.asarray(s_seqs)[0], np.asarray(g_seqs)[0])
+
+
+def test_sample_decode_output_contract(small_model):
+    """Stripped-sequence contract (as beam_search): no <end> in the kept
+    region, zeros beyond lengths, lengths <= MAX_LEN."""
+    from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
+
+    model, variables, enc = small_model
+    seqs, lens = sample_decode(
+        model, variables, enc, jax.random.PRNGKey(3),
+        max_len=MAX_LEN, start_token=START, end_token=END, temperature=1.5,
+    )
+    seqs, lens = np.asarray(seqs), np.asarray(lens)
+    assert seqs.shape == (2, MAX_LEN) and (lens <= MAX_LEN).all()
+    for row, n in zip(seqs, lens):
+        assert END not in row[:n]
+        assert (row[n:] == 0).all()

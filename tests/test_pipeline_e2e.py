@@ -174,3 +174,22 @@ def test_convert_dataset_roundtrip(tmp_path):
     # images copied alongside
     img = train.loadImgs(train.getImgIds()[:1])[0]
     assert os.path.exists(os.path.join(cfg.datadir, "images", "train2017", img["file_name"]))
+
+
+def test_sample_batch_serving_extra(trained):
+    """Pipeline.sample_batch: near-zero temperature reproduces the greedy
+    (beam-1) decode; sequences detokenize; per-seed determinism holds."""
+    pipeline, _, _, _ = trained
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(-1, 1, (2, IMG, IMG, 3)).astype(np.float32)
+
+    g_seqs, g_lens = pipeline.predict_batch(imgs, beam_n=1)
+    s_seqs, s_lens = pipeline.sample_batch(imgs, temperature=1e-7, seed=0)
+    np.testing.assert_array_equal(s_lens, g_lens)
+    np.testing.assert_array_equal(s_seqs[:, : g_seqs.shape[1]], g_seqs)
+
+    a = pipeline.sample_batch(imgs, temperature=1.0, seed=9)
+    b = pipeline.sample_batch(imgs, temperature=1.0, seed=9)
+    np.testing.assert_array_equal(a[0], b[0])
+    for row, n in zip(*a):
+        assert isinstance(pipeline.to_caption(row, n), str)
