@@ -22,14 +22,19 @@ Design (TPU-first):
 
 Endpoints:
   POST /caption            image bytes (PNG/JPEG/anything PIL reads) in the
-                           body → {"caption": str, "tokens": int}
+                           body → {"caption": str, "tokens": int}. Under
+                           --decode=sample, optional ?temperature=&top_p=
+                           query params apply PER REQUEST (they are per-row
+                           traced inputs — mixed settings share the one
+                           compiled program)
   GET  /healthz            liveness + model/config info
   GET  /stats              request/batch counters, batch-fill histogram,
                            rolling latency percentiles
 
 Usage:
   python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
-                  [--beam_search_n=8] [any Config --key=value override]
+                  [--beam_search_n=8] [--decode=beam|sample] [--sample_seed=N]
+                  [any Config --key=value override]
   python serve.py --artifact=DIR [...]   # serve a compiled export.py artifact
                                          # (no model code / checkpoint needed)
 
@@ -72,14 +77,22 @@ def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
 
 class DynamicBatcher:
     """Coalesces submitted images into fixed-size ``Pipeline.predict_batch``
-    calls on a dedicated thread; callers get a Future of the caption string."""
+    calls on a dedicated thread; callers get a Future of the caption string.
+
+    ``decode="sample"`` switches the device call to ``Pipeline.sample_batch``:
+    temperature/top_p are PER-ROW traced inputs there, so requests with
+    different sampling settings still coalesce into the one compiled program.
+    """
 
     def __init__(self, pipeline: Pipeline, batch: int, max_delay_ms: float,
-                 beam_n: int | None = None):
+                 beam_n: int | None = None, decode: str = "beam",
+                 sample_seed: int = 0):
         self.pipeline = pipeline
         self.batch = batch
         self.max_delay_s = max_delay_ms / 1000.0
         self.beam_n = beam_n
+        self.decode = decode
+        self.sample_seed = sample_seed
         self._queue: list[tuple[np.ndarray, Future]] = []
         self._lock = threading.Condition()
         self._closed = False
@@ -90,12 +103,13 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, img: np.ndarray) -> Future:
+    def submit(self, img: np.ndarray, temperature: float = 1.0,
+               top_p: float = 1.0) -> Future:
         fut: Future = Future()
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher is closed")
-            self._queue.append((img, fut))
+            self._queue.append((img, temperature, top_p, fut))
             self.stats["requests"] += 1
             self._lock.notify()
         return fut
@@ -122,7 +136,7 @@ class DynamicBatcher:
             items = self._take_batch()
             if items is None:
                 return
-            imgs = np.stack([im for im, _ in items])
+            imgs = np.stack([im for im, _, _, _ in items])
             pad = self.batch - len(items)
             if pad:  # fixed compiled shape: pad the tail, decode rows discarded
                 imgs = np.concatenate(
@@ -130,15 +144,29 @@ class DynamicBatcher:
                 )
             try:
                 self.timer.start()
-                seqs, lengths = self.pipeline.predict_batch(imgs, beam_n=self.beam_n)
+                if self.decode == "sample":
+                    temps = np.ones(self.batch, np.float32)
+                    tps = np.ones(self.batch, np.float32)
+                    for i, (_, temp, tp, _) in enumerate(items):
+                        temps[i], tps[i] = temp, tp
+                    seqs, lengths = self.pipeline.sample_batch(
+                        imgs, temperature=temps, top_p=tps,
+                        # per-batch seed: concurrent identical requests sample
+                        # independently across batches, reproducibly per server
+                        seed=self.sample_seed + self.stats["batches"],
+                    )
+                else:
+                    seqs, lengths = self.pipeline.predict_batch(
+                        imgs, beam_n=self.beam_n
+                    )
                 self.timer.stop()
-                for i, (_, fut) in enumerate(items):
+                for i, (_, _, _, fut) in enumerate(items):
                     fut.set_result(
                         (self.pipeline.to_caption(seqs[i], lengths[i]), int(lengths[i]))
                     )
             except BaseException as e:  # noqa: BLE001 - all callers must unblock
                 self.stats["errors"] += 1
-                for _, fut in items:
+                for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
             self.stats["batches"] += 1
@@ -150,7 +178,7 @@ class DynamicBatcher:
             self._lock.notify_all()
         self._thread.join(timeout=30)
         # unblock any requests that raced the close
-        for _, fut in self._queue:
+        for *_, fut in self._queue:
             if not fut.done():
                 fut.set_exception(RuntimeError("server shutting down"))
         self._queue = []
@@ -160,10 +188,12 @@ class CaptionServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, pipeline: Pipeline, cfg: Config, batch: int,
-                 max_delay_ms: float, request_timeout_s: float = 600.0):
+                 max_delay_ms: float, request_timeout_s: float = 600.0,
+                 decode: str = "beam", sample_seed: int = 0):
         self.pipeline = pipeline
         self.cfg = cfg
-        self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms)
+        self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms,
+                                      decode=decode, sample_seed=sample_seed)
         self.request_timeout_s = request_timeout_s
         super().__init__(addr, _Handler)
 
@@ -196,6 +226,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "status": "ok",
                 "backend": jax.default_backend(),
                 "serve_batch": srv.batcher.batch,
+                "decode": srv.batcher.decode,
                 "beam": srv.cfg.beam_search_n,
                 "image_size": srv.cfg.image_input_size,
             })
@@ -212,12 +243,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no such path {self.path}"})
 
     def do_POST(self):
-        if self.path.split("?")[0] != "/caption":
+        from urllib.parse import parse_qs, urlsplit
+
+        parts = urlsplit(self.path)
+        if parts.path != "/caption":
             self._reply(404, {"error": f"no such path {self.path}"})
             return
         srv = self.server
+        query = parse_qs(parts.query)
+        length = int(self.headers.get("Content-Length", 0))
+
+        def reject(msg):  # drain the body first: keep-alive framing survives
+            if length:
+                self.rfile.read(length)
+            self._reply(400, {"error": msg})
+
         try:
-            length = int(self.headers.get("Content-Length", 0))
+            temperature = float(query.get("temperature", ["1.0"])[0])
+            top_p = float(query.get("top_p", ["1.0"])[0])
+            if temperature < 0 or not (0 < top_p <= 1):
+                raise ValueError("temperature >= 0 and 0 < top_p <= 1 required")
+        except ValueError as e:
+            reject(f"bad sampling params: {e}")
+            return
+        if srv.batcher.decode != "sample" and (
+            "temperature" in query or "top_p" in query
+        ):
+            reject("sampling params require the server to run with "
+                   "--decode=sample (this one decodes beam search)")
+            return
+        try:
             if not length:
                 self._reply(400, {"error": "empty body; POST raw image bytes"})
                 return
@@ -228,7 +283,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             t0 = time.perf_counter()
-            caption, ntok = srv.batcher.submit(img).result(
+            caption, ntok = srv.batcher.submit(img, temperature, top_p).result(
                 timeout=srv.request_timeout_s
             )
             self._reply(200, {
@@ -241,9 +296,19 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
                 serve_batch: int | None = None, max_delay_ms: float = 10.0,
-                pipeline: Pipeline | None = None) -> CaptionServer:
+                pipeline: Pipeline | None = None, decode: str = "beam",
+                sample_seed: int = 0) -> CaptionServer:
     """Build (but don't run) the server; tests use port=0 + serve_forever in a
-    thread. ``pipeline=None`` loads tokenizer + latest checkpoint per Config."""
+    thread. ``pipeline=None`` loads tokenizer + latest checkpoint per Config.
+    ``decode="sample"`` serves stochastic captions (per-request ?temperature=
+    &top_p= query params ride the one compiled program as per-row inputs)."""
+    if decode not in ("beam", "sample"):
+        raise ValueError(f"decode must be 'beam' or 'sample', got {decode!r}")
+    if decode == "sample" and pipeline is not None and not hasattr(
+        pipeline, "sample_batch"
+    ):
+        raise ValueError("--decode=sample needs a live Pipeline (a compiled "
+                         "--artifact freezes the beam-search program)")
     if pipeline is None:
         max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
         pipeline = Pipeline(
@@ -251,12 +316,13 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
             max_seq_len, cfg,
         )
     batch = serve_batch or max(cfg.decode_batch, 1)
-    return CaptionServer((host, port), pipeline, cfg, batch, max_delay_ms)
+    return CaptionServer((host, port), pipeline, cfg, batch, max_delay_ms,
+                         decode=decode, sample_seed=sample_seed)
 
 
 def main(argv: list[str]) -> None:
     host, port, serve_batch, max_delay_ms = "0.0.0.0", 8500, None, 10.0
-    artifact = None
+    artifact, decode, sample_seed = None, "beam", 0
     passthrough = []
     for arg in argv:
         if arg.startswith("--port="):
@@ -269,6 +335,10 @@ def main(argv: list[str]) -> None:
             max_delay_ms = float(arg.split("=", 1)[1])
         elif arg.startswith("--artifact="):
             artifact = arg.split("=", 1)[1]
+        elif arg.startswith("--decode="):
+            decode = arg.split("=", 1)[1]
+        elif arg.startswith("--sample_seed="):
+            sample_seed = int(arg.split("=", 1)[1])
         else:
             passthrough.append(arg)
     cfg = Config.from_flags(passthrough)
@@ -281,7 +351,8 @@ def main(argv: list[str]) -> None:
         pipeline = load_serving(artifact)
         cfg = pipeline.apply_to_config(cfg)
     server = make_server(cfg, host, port, serve_batch, max_delay_ms,
-                         pipeline=pipeline)
+                         pipeline=pipeline, decode=decode,
+                         sample_seed=sample_seed)
 
     # warm-up: compile the fixed-shape encode + decode programs before
     # accepting traffic (a cold compile through the TPU tunnel takes minutes —
@@ -291,7 +362,10 @@ def main(argv: list[str]) -> None:
         np.float32,
     )
     t0 = time.perf_counter()
-    server.pipeline.predict_batch(warm)
+    if decode == "sample":
+        server.pipeline.sample_batch(warm)
+    else:
+        server.pipeline.predict_batch(warm)
     print(f"warm-up compile done in {time.perf_counter() - t0:.1f}s")
 
     # graceful SIGTERM (the standard orchestrator stop signal): finish

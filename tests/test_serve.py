@@ -135,3 +135,74 @@ def test_unknown_path_is_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(base + "/nope", timeout=60)
     assert exc_info.value.code == 404
+
+
+def test_sampling_params_rejected_in_beam_mode(server):
+    _, base = server
+    req = urllib.request.Request(
+        base + "/caption?temperature=0.7", data=_png_bytes(1), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc_info.value.code == 400
+    assert "decode=sample" in json.loads(exc_info.value.read())["error"]
+    # the keep-alive connection survives the drained reject: next request ok
+    status, payload = _post(base, _png_bytes(2))
+    assert status == 200 and isinstance(payload["caption"], str)
+
+
+def test_sampling_mode_server(server):
+    """--decode=sample: per-request temperature rides the shared program; a
+    near-zero temperature reproduces the greedy (beam-1) caption."""
+    srv, _ = server
+
+    import serve
+    import threading as _threading
+
+    smp = serve.make_server(srv.cfg, port=0, serve_batch=4, max_delay_ms=150.0,
+                            pipeline=srv.pipeline, decode="sample",
+                            sample_seed=3)
+    t = _threading.Thread(target=smp.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{smp.server_address[1]}"
+    try:
+        status, payload = _get(base, "/healthz")
+        assert status == 200 and payload["decode"] == "sample"
+
+        png = _png_bytes(9)
+        req = urllib.request.Request(
+            base + "/caption?temperature=0.0000001", data=png, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            sampled = json.loads(r.read())
+        img = serve.decode_image_bytes(png, IMG)
+        seqs, lengths = srv.pipeline.predict_batch(img[None], beam_n=1)
+        assert sampled["caption"] == srv.pipeline.to_caption(seqs[0], lengths[0])
+
+        # invalid top_p -> 400
+        req = urllib.request.Request(
+            base + "/caption?top_p=1.5", data=png, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 400
+    finally:
+        smp.shutdown()
+        smp.batcher.close()  # pipeline is the module fixture's — keep it open
+
+
+def test_sampling_mode_refuses_artifact():
+    import serve
+    from fpn_mt_image_captioning_tpu.config import Config
+
+    class _FrozenArtifact:  # ExportedServing surface: no sample_batch
+        def predict_batch(self, images, beam_n=None): ...
+        def to_caption(self, seq, n): ...
+        def close(self): ...
+
+    with pytest.raises(ValueError, match="sample"):
+        serve.make_server(Config(), port=0, pipeline=_FrozenArtifact(),
+                          decode="sample")
+    with pytest.raises(ValueError, match="decode"):
+        serve.make_server(Config(), port=0, pipeline=_FrozenArtifact(),
+                          decode="nonsense")
