@@ -30,6 +30,9 @@ def main():
     else:
         image_size, vocab, seq, dims = 512, 2000, 64, (6, 512, 2048, 8)
         batches, base_k, dtype = (10, 32, 64), 3, "bfloat16"
+    for arg in sys.argv[1:]:  # e.g. --batches=128,256 to probe the envelope
+        if arg.startswith("--batches="):
+            batches = tuple(int(b) for b in arg.split("=", 1)[1].split(","))
 
     from fpn_mt_image_captioning_tpu.models.positional import create_masks
     from fpn_mt_image_captioning_tpu.models.transformer import Transformer
