@@ -258,7 +258,11 @@ def sample_decode(
     temperature=1.0,           # scalar or (B,) — per-row supported (serving
                                # batches can mix request temperatures)
     top_k: int = 0,            # 0 = no top-k truncation (static: shapes lax.top_k)
-    top_p=1.0,                 # scalar or (B,) — nucleus truncation; 1 = off
+    top_p=None,                # scalar or (B,) — nucleus truncation. None (a
+                               # TRACE-TIME off switch) omits the per-step
+                               # descending sort entirely: measured 788.6 →
+                               # see CLAUDE.md — the (B, V) sort is the single
+                               # most expensive op in the sampling step
 ):
     """Ancestral sampling with temperature / top-k / nucleus truncation on the
     shared-KV-cache decode engine. A serving extra with no reference
@@ -269,7 +273,8 @@ def sample_decode(
     batch = enc_output.shape[0]
     vocab = model.target_vocab_size
     temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (batch,))
-    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (batch,))
+    if top_p is not None:
+        top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (batch,))
 
     cache = model.apply(
         variables, enc_output, max_len + 1, method=Transformer.init_cache
@@ -296,17 +301,18 @@ def sample_decode(
         if top_k and top_k < vocab:
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, NEG_INF, logits)
-        # nucleus: keep the smallest prefix of the descending-prob ordering
-        # whose mass reaches top_p (the first token always survives)
-        probs = jax.nn.softmax(logits, axis=-1)
-        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-        csum = jnp.cumsum(sorted_probs, axis=-1)
-        keep_sorted = (csum - sorted_probs) < top_p[:, None]  # mass BEFORE it
-        # per-row prob cutoff = smallest kept sorted prob
-        cutoff = jnp.min(
-            jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(probs < cutoff, NEG_INF, logits)
+        if top_p is not None:
+            # nucleus: keep the smallest prefix of the descending-prob ordering
+            # whose mass reaches top_p (the first token always survives)
+            probs = jax.nn.softmax(logits, axis=-1)
+            sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+            csum = jnp.cumsum(sorted_probs, axis=-1)
+            keep_sorted = (csum - sorted_probs) < top_p[:, None]  # mass BEFORE it
+            # per-row prob cutoff = smallest kept sorted prob
+            cutoff = jnp.min(
+                jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
+            )
+            logits = jnp.where(probs < cutoff, NEG_INF, logits)
 
         new_tokens = jax.random.categorical(jax.random.fold_in(rng, t), logits)
         new_tokens = jnp.where(finished, 0, new_tokens.astype(jnp.int32))

@@ -393,12 +393,14 @@ class Pipeline:
         return seqs, lengths
 
     def sample_batch(self, images, *, seed: int = 0, temperature=1.0,
-                     top_k: int = 0, top_p=1.0):
+                     top_k: int = 0, top_p=None):
         """Stochastic captioning: ancestral sampling with temperature / top-k /
         nucleus truncation (``decode.beam_search.sample_decode``) — a serving
         extra the reference lacks (it decodes beam-only). ``temperature`` and
         ``top_p`` may be scalars or per-image arrays (a batch can mix request
-        settings without recompiling); ``top_k`` is static. Returns
+        settings without recompiling); ``top_k`` is static, and ``top_p=None``
+        omits the nucleus machinery at trace time (the per-step (B, V) sort is
+        the costliest op in the sampling step). Returns
         (sequences (B, L) int32 np, lengths (B,) np)."""
         from ..decode.beam_search import sample_decode
 
@@ -407,20 +409,22 @@ class Pipeline:
         temperature = np.broadcast_to(
             np.asarray(temperature, np.float32), (n_real,)
         )
-        top_p = np.broadcast_to(np.asarray(top_p, np.float32), (n_real,))
+        if top_p is not None:
+            top_p = np.broadcast_to(np.asarray(top_p, np.float32), (n_real,))
         pad = 0
         if self.mesh is not None:
             images, pad = self._pad_batch(images)
             if pad:  # padded rows sample at neutral settings, then get dropped
                 temperature = np.concatenate([temperature, np.ones(pad, np.float32)])
-                top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
+                if top_p is not None:
+                    top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
         enc = self._encode(self.variables, jnp.asarray(images))
         seqs, lengths = sample_decode(
             self.transformer, self.variables, enc, jax.random.PRNGKey(seed),
             max_len=self.max_seq_len,
             start_token=self.start_token, end_token=self.end_token,
             temperature=jnp.asarray(temperature), top_k=top_k,
-            top_p=jnp.asarray(top_p),
+            top_p=None if top_p is None else jnp.asarray(top_p),
         )
         seqs, lengths = np.asarray(seqs), np.asarray(lengths)
         if pad:

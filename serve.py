@@ -150,7 +150,11 @@ class DynamicBatcher:
                     for i, (_, temp, tp, _) in enumerate(items):
                         temps[i], tps[i] = temp, tp
                     seqs, lengths = self.pipeline.sample_batch(
-                        imgs, temperature=temps, top_p=tps,
+                        imgs, temperature=temps,
+                        # top_p=None is a trace-time off switch (skips the
+                        # per-step vocab sort); batches where no request asked
+                        # for nucleus use the cheaper program
+                        top_p=None if (tps >= 1.0).all() else tps,
                         # per-batch seed: concurrent identical requests sample
                         # independently across batches, reproducibly per server
                         seed=self.sample_seed + self.stats["batches"],
