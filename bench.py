@@ -33,6 +33,8 @@ Optional extra passes, each printed as its OWN labeled JSON line afterwards:
             (--train-batch N, --train-rounds K, --train-seq L — default 64,
             the canonical benchmarks/train_throughput.py sequence length;
             builds its own model so the program matches that benchmark's)
+  --sample  stochastic serving throughput (temperature-1.0 ancestral
+            sampling on the cached engine; B rows instead of B×beam)
   --fused-backbone  opt-in Pallas backbone (measured slower than XLA)
 Set ``BENCH_BUDGET_S`` to cap optional passes (the headline always runs).
 """
@@ -279,6 +281,39 @@ def main():
             "metric": "training images/sec/chip",
             "value": round(tput, 2), "unit": "img/s",
             "step_ms": round(step_ms, 2), "batch": tbatch, "seq_len": train_seq,
+        }), flush=True)
+
+    if "--sample" in sys.argv and budget_left():
+        # stochastic serving path (temperature-1.0 ancestral sampling): B cache
+        # rows instead of B×beam and no candidate sort — the program mirrors
+        # scripts/profile_sample_decode.py; reuses the headline's weights
+        from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
+        from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+
+        @jax.jit
+        def sample_run(images, n):
+            def body(i, carry):
+                imgs, acc = carry
+                enc = model.apply(
+                    variables, imgs, train=False, method=Transformer.encode
+                )
+                seqs, lengths = sample_decode(
+                    model, variables, enc,
+                    jax.random.fold_in(jax.random.PRNGKey(0), i + acc),
+                    max_len=max_len, start_token=1, end_token=vocab - 1,
+                    temperature=1.0, top_p=None,
+                )
+                bump = ((lengths.sum() + seqs.sum()).astype(imgs.dtype)) * 1e-30
+                return imgs + bump, acc + lengths.sum()
+
+            _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.int32(0)))
+            return acc
+
+        sample_ms = slope_ms(sample_run, images, k)
+        print(json.dumps({
+            "metric": "sampled captions/sec/chip (temperature 1.0)",
+            "value": round(batch / (sample_ms / 1000), 2), "unit": "img/s",
+            "batch_ms": round(sample_ms, 2), "batch": batch, "vocab": vocab,
         }), flush=True)
 
     if "--p50" in sys.argv and budget_left():

@@ -11,7 +11,9 @@ CIDEr -> smart checkpointing), and a committed curve artifact under
 
 Run on TPU (default env) or CPU:
 
-    python scripts/convergence_run.py            # full run (TPU-sized)
+    python scripts/convergence_run.py            # full run (TPU-sized, d256)
+    python scripts/convergence_run.py --flagship # production dims (512², d512,
+                                                 # 6+6, dff 2048) — slower
     python scripts/convergence_run.py --tiny     # CPU smoke (~2 min)
 
 Writes ``benchmarks/convergence/curve_<backend>.jsonl`` (one scalar per line)
@@ -33,6 +35,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 def main() -> None:
     tiny = "--tiny" in sys.argv
+    flagship = "--flagship" in sys.argv
     ws = os.path.abspath(os.environ.get("CONVERGENCE_WS", "/tmp/convergence_ws"))
     if os.path.isdir(ws):
         shutil.rmtree(ws)
@@ -44,6 +47,17 @@ def main() -> None:
         n_train, n_val, image_size = 24, 6, 64
         model_kw = dict(d_model=32, num_layers=2, dff=64, num_heads=4)
         epochs, eval_every, batch_size, warmup = 4, 2, 8, 20
+    elif flagship:
+        # FLAGSHIP dims (the reference's production config: 512² input,
+        # d_model 512, 6+6 layers, dff 2048, 8 heads) on the same classful
+        # corpus — proves the production-size model trains + converges
+        # end-to-end on TPU, not just the d256 proxy. LR sanity: the schedule
+        # (dff quirk) peaks at 2048^-0.5 · 1000^-0.5 ≈ 7e-4 but the 650-step
+        # run stays on the ramp (≈2.2e-4 at step 325, ≈4.5e-4 at 650) —
+        # the same trajectory band that converged cleanly at d256.
+        n_train, n_val, image_size = 200, 18, 512
+        model_kw = dict(d_model=512, num_layers=6, dff=2048, num_heads=8)
+        epochs, eval_every, batch_size, warmup = 50, 5, 16, 1000
     else:
         # LR sanity: the schedule peaks at dff^-0.5 * warmup^-0.5; the reference
         # trains at ~3.5e-4 peak (dff 2048, warmup 4000). warmup=1000 with
@@ -76,6 +90,9 @@ def main() -> None:
         buffer_size=max(n_train, 1),
         dropout_rate=0.0,   # pure overfit demo — regularization off
         use_pallas=False,   # XLA decode path; kernel parity is tested separately
+        # flagship: 200 512² PNG decodes/epoch on a small-core host dominate
+        # wall time — stream later epochs from the uint8 memmap cache
+        dataset_cache=os.path.join(ws, "imgcache") if flagship else "",
         **model_kw,
     )
 
@@ -104,10 +121,11 @@ def main() -> None:
         else os.path.join(ws, "artifact")
     )
     os.makedirs(out_dir, exist_ok=True)
-    curve_path = os.path.join(out_dir, f"curve_{backend}.jsonl")
+    suffix = "_flagship" if flagship else ""
+    curve_path = os.path.join(out_dir, f"curve_{backend}{suffix}.jsonl")
     with open(curve_path, "w") as f:
         header = {
-            "run": "convergence", "backend": backend,
+            "run": "convergence" + suffix, "backend": backend,
             "device": str(jax.devices()[0]),
             "n_train": n_train, "n_val": n_val, "image_size": image_size,
             "batch_size": batch_size, "epochs": epochs, **model_kw,
@@ -168,7 +186,7 @@ def main() -> None:
         "best_epoch": best_epoch,
         "metrics": {k: round(float(v), 4) for k, v in full.items()},
     }
-    with open(os.path.join(out_dir, "full_metrics.json"), "w") as f:
+    with open(os.path.join(out_dir, f"full_metrics{suffix}.json"), "w") as f:
         json.dump(full_metrics, f, indent=2)
 
     summary = {

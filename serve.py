@@ -93,7 +93,7 @@ class DynamicBatcher:
         self.beam_n = beam_n
         self.decode = decode
         self.sample_seed = sample_seed
-        self._queue: list[tuple[np.ndarray, Future]] = []
+        self._queue: list[tuple[np.ndarray, float, float, Future]] = []
         self._lock = threading.Condition()
         self._closed = False
         self.stats = {
@@ -367,7 +367,13 @@ def main(argv: list[str]) -> None:
     )
     t0 = time.perf_counter()
     if decode == "sample":
+        # compile BOTH sampling programs: top_p=None (temperature-only) and
+        # the nucleus variant are distinct trace-time programs — without the
+        # second call the first top_p<1 request would stall on a cold compile
         server.pipeline.sample_batch(warm)
+        server.pipeline.sample_batch(
+            warm, top_p=np.full(warm.shape[0], 0.9, np.float32)
+        )
     else:
         server.pipeline.predict_batch(warm)
     print(f"warm-up compile done in {time.perf_counter() - t0:.1f}s")

@@ -241,6 +241,19 @@ def test_mesh_enabled_pipeline_end_to_end(tmp_path):
         seq = pipeline.predict(np.asarray(img))
         assert seq.ndim == 1
 
+        # stochastic serving extra under the mesh: batch 3 pads to 4 (per-row
+        # temperature/top_p must pad too); near-zero temperature == greedy
+        simgs = np.stack([np.asarray(i) for i, _ in
+                          COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, 3,
+                                              image_size=256, seed=0)])
+        g_seqs, g_lens = pipeline.predict_batch(simgs, beam_n=1)
+        s_seqs, s_lens = pipeline.sample_batch(
+            simgs, temperature=np.full(3, 1e-7, np.float32),
+            top_p=np.full(3, 0.9, np.float32), seed=0,
+        )
+        np.testing.assert_array_equal(s_lens, g_lens)
+        np.testing.assert_array_equal(s_seqs[:, : g_seqs.shape[1]], g_seqs)
+
         # host-side row chunking composes with the mesh: limit 2 rows/device
         # at beam 2 -> chunk_b = 1*4 devices -> 6 images = 2 chunks (tail padded)
         import dataclasses

@@ -175,7 +175,7 @@ def test_bench_tiny_headline_contract(tmp_path):
     same code path on CPU; ``--train``/``--p50`` are TPU measurement flags and
     are exercised only on real hardware (XLA:CPU takes >10 min just to compile
     the fwd+bwd fori_loop even at micro dims)."""
-    r = run_script("bench.py", ["--tiny"], cwd=tmp_path)
+    r = run_script("bench.py", ["--tiny", "--sample"], cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     lines = [l for l in r.stdout.splitlines() if l.strip()]
     assert lines, "bench printed nothing"
@@ -185,6 +185,11 @@ def test_bench_tiny_headline_contract(tmp_path):
     assert headline["unit"] == "img/s"
     assert headline["vs_baseline"] == round(headline["value"] / 500.0, 4)
     assert {"batch", "beam", "decode_steps", "vocab", "dtype"} <= set(headline)
+    # the flag-gated sampling pass prints its own labeled line AFTER the
+    # headline (optional passes must never run before the headline print)
+    sample = json.loads(lines[1])
+    assert sample["metric"].startswith("sampled captions/sec")
+    assert sample["value"] > 0
 
 
 def test_bench_flag_value_errors():
