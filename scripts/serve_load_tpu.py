@@ -159,6 +159,10 @@ def main() -> None:
     one(0)  # first batch compiles encode + decode through the tunnel
     print(f"warm-up request (compile) in {time.perf_counter() - t0:.1f}s",
           flush=True)
+    # keep the compile batch out of the measured device-time percentiles
+    urllib.request.urlopen(
+        urllib.request.Request(base + "/stats/reset", method="POST"), timeout=60
+    ).read()
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=args.concurrency) as pool:

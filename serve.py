@@ -30,6 +30,9 @@ Endpoints:
   GET  /healthz            liveness + model/config info
   GET  /stats              request/batch counters, batch-fill histogram,
                            rolling latency percentiles
+  POST /stats/reset        zero the counters/window (load tests call this
+                           after warm-up so compile time stays out of the
+                           measured percentiles)
 
 Usage:
   python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
@@ -100,8 +103,19 @@ class DynamicBatcher:
             "requests": 0, "batches": 0, "images_padded": 0, "errors": 0,
         }
         self.timer = StepTimer(window=512)  # device time per batch
+        self._batch_seq = 0  # sampling-seed counter; survives reset_stats
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def reset_stats(self) -> None:
+        """Zero the counters and the device-time window (POST /stats/reset):
+        load tests call this after their warm-up request so compile time
+        doesn't pollute the measured percentiles. The sampling-seed sequence
+        is NOT reset — replayed seeds would replay captions."""
+        with self._lock:
+            for k in self.stats:
+                self.stats[k] = 0
+            self.timer = StepTimer(window=512)
 
     def submit(self, img: np.ndarray, temperature: float = 1.0,
                top_p: float = 1.0) -> Future:
@@ -157,7 +171,7 @@ class DynamicBatcher:
                         top_p=None if (tps >= 1.0).all() else tps,
                         # per-batch seed: concurrent identical requests sample
                         # independently across batches, reproducibly per server
-                        seed=self.sample_seed + self.stats["batches"],
+                        seed=self.sample_seed + self._batch_seq,
                     )
                 else:
                     seqs, lengths = self.pipeline.predict_batch(
@@ -174,6 +188,7 @@ class DynamicBatcher:
                     if not fut.done():
                         fut.set_exception(e)
             self.stats["batches"] += 1
+            self._batch_seq += 1
             self.stats["images_padded"] += pad
 
     def close(self):
@@ -250,6 +265,10 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlsplit
 
         parts = urlsplit(self.path)
+        if parts.path == "/stats/reset":
+            self.server.batcher.reset_stats()
+            self._reply(200, {"status": "reset"})
+            return
         if parts.path != "/caption":
             self._reply(404, {"error": f"no such path {self.path}"})
             return

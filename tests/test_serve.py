@@ -107,6 +107,23 @@ def test_concurrent_requests_are_batched(server):
     assert stats["errors"] == 0
 
 
+def test_stats_reset(server):
+    """POST /stats/reset zeroes the counters/window; traffic after the reset
+    counts from zero (load tests use this to exclude warm-up compiles)."""
+    _, base = server
+    _post(base, _png_bytes(77))  # ensure nonzero counters
+    req = urllib.request.Request(base + "/stats/reset", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200 and json.loads(r.read())["status"] == "reset"
+    _, stats = _get(base, "/stats")
+    assert stats["requests"] == 0 and stats["batches"] == 0
+    assert stats["device_batch_ms"].get("steps", 0) == 0
+    status, _ = _post(base, _png_bytes(78))  # server still serves post-reset
+    assert status == 200
+    _, stats = _get(base, "/stats")
+    assert stats["requests"] == 1 and stats["batches"] == 1
+
+
 def test_identical_captions_offline_and_online(server):
     """The server must return exactly what offline predict_batch returns."""
     srv, base = server
