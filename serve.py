@@ -34,10 +34,15 @@ Endpoints:
                            after warm-up so compile time stays out of the
                            measured percentiles)
 
+Overload behavior: the request queue is bounded (``--max_queue``, default
+8 × serve_batch); beyond it requests get 503 + Retry-After (load shedding)
+instead of unbounded queueing. The listen backlog is 128 so concurrency
+bursts don't RST at the TCP accept queue.
+
 Usage:
   python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
                   [--beam_search_n=8] [--decode=beam|sample] [--sample_seed=N]
-                  [any Config --key=value override]
+                  [--max_queue=N] [any Config --key=value override]
   python serve.py --artifact=DIR [...]   # serve a compiled export.py artifact
                                          # (no model code / checkpoint needed)
 
@@ -78,6 +83,11 @@ def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
     return arr / 127.5 - 1.0
 
 
+class QueueFull(RuntimeError):
+    """Raised by DynamicBatcher.submit when the queue is at max_queue; the
+    HTTP layer maps it to 503 + Retry-After (load-shedding backpressure)."""
+
+
 class DynamicBatcher:
     """Coalesces submitted images into fixed-size ``Pipeline.predict_batch``
     calls on a dedicated thread; callers get a Future of the caption string.
@@ -89,18 +99,24 @@ class DynamicBatcher:
 
     def __init__(self, pipeline: Pipeline, batch: int, max_delay_ms: float,
                  beam_n: int | None = None, decode: str = "beam",
-                 sample_seed: int = 0):
+                 sample_seed: int = 0, max_queue: int | None = None):
         self.pipeline = pipeline
         self.batch = batch
         self.max_delay_s = max_delay_ms / 1000.0
         self.beam_n = beam_n
         self.decode = decode
         self.sample_seed = sample_seed
+        # backpressure: beyond this many queued images, submit() raises
+        # QueueFull and the handler replies 503 — bounding host memory and
+        # tail latency instead of queueing unboundedly (default: 8 device
+        # batches of headroom ≈ 8 × the device batch time worst-case wait)
+        self.max_queue = 8 * batch if max_queue is None else max_queue
         self._queue: list[tuple[np.ndarray, float, float, Future]] = []
         self._lock = threading.Condition()
         self._closed = False
         self.stats = {
             "requests": 0, "batches": 0, "images_padded": 0, "errors": 0,
+            "rejected": 0,
         }
         self.timer = StepTimer(window=512)  # device time per batch
         self._batch_seq = 0  # sampling-seed counter; survives reset_stats
@@ -123,6 +139,12 @@ class DynamicBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if len(self._queue) >= self.max_queue:
+                self.stats["rejected"] += 1
+                raise QueueFull(
+                    f"{len(self._queue)} images already queued "
+                    f"(max_queue={self.max_queue}); retry later"
+                )
             self._queue.append((img, temperature, top_p, fut))
             self.stats["requests"] += 1
             self._lock.notify()
@@ -205,14 +227,20 @@ class DynamicBatcher:
 
 class CaptionServer(ThreadingHTTPServer):
     daemon_threads = True
+    # listen backlog: socketserver's default of 5 RSTs connections when a
+    # concurrency burst (e.g. 64 clients connecting at once) overflows the
+    # accept queue — measured 29/512 resets on loopback before raising this
+    request_queue_size = 128
 
     def __init__(self, addr, pipeline: Pipeline, cfg: Config, batch: int,
                  max_delay_ms: float, request_timeout_s: float = 600.0,
-                 decode: str = "beam", sample_seed: int = 0):
+                 decode: str = "beam", sample_seed: int = 0,
+                 max_queue: int | None = None):
         self.pipeline = pipeline
         self.cfg = cfg
         self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms,
-                                      decode=decode, sample_seed=sample_seed)
+                                      decode=decode, sample_seed=sample_seed,
+                                      max_queue=max_queue)
         self.request_timeout_s = request_timeout_s
         super().__init__(addr, _Handler)
 
@@ -313,6 +341,17 @@ class _Handler(BaseHTTPRequestHandler):
                 "caption": caption, "tokens": ntok,
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
             })
+        except QueueFull as e:
+            # load shedding: the queue is max_queue deep — tell the client to
+            # back off for roughly one device-batch time rather than queueing
+            ms = srv.batcher.timer.summary().get("p50_ms", 100.0)
+            self.send_response(503)
+            body = json.dumps({"error": f"overloaded: {e}"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", str(max(1, round(ms / 1000))))
+            self.end_headers()
+            self.wfile.write(body)
         except Exception as e:
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -320,7 +359,8 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
                 serve_batch: int | None = None, max_delay_ms: float = 10.0,
                 pipeline: Pipeline | None = None, decode: str = "beam",
-                sample_seed: int = 0) -> CaptionServer:
+                sample_seed: int = 0,
+                max_queue: int | None = None) -> CaptionServer:
     """Build (but don't run) the server; tests use port=0 + serve_forever in a
     thread. ``pipeline=None`` loads tokenizer + latest checkpoint per Config.
     ``decode="sample"`` serves stochastic captions (per-request ?temperature=
@@ -340,15 +380,19 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
         )
     batch = serve_batch or max(cfg.decode_batch, 1)
     return CaptionServer((host, port), pipeline, cfg, batch, max_delay_ms,
-                         decode=decode, sample_seed=sample_seed)
+                         decode=decode, sample_seed=sample_seed,
+                         max_queue=max_queue)
 
 
 def main(argv: list[str]) -> None:
     host, port, serve_batch, max_delay_ms = "0.0.0.0", 8500, None, 10.0
     artifact, decode, sample_seed = None, "beam", 0
+    max_queue = None
     passthrough = []
     for arg in argv:
-        if arg.startswith("--port="):
+        if arg.startswith("--max_queue="):
+            max_queue = int(arg.split("=", 1)[1])
+        elif arg.startswith("--port="):
             port = int(arg.split("=", 1)[1])
         elif arg.startswith("--host="):
             host = arg.split("=", 1)[1]
@@ -375,7 +419,7 @@ def main(argv: list[str]) -> None:
         cfg = pipeline.apply_to_config(cfg)
     server = make_server(cfg, host, port, serve_batch, max_delay_ms,
                          pipeline=pipeline, decode=decode,
-                         sample_seed=sample_seed)
+                         sample_seed=sample_seed, max_queue=max_queue)
 
     # warm-up: compile the fixed-shape encode + decode programs before
     # accepting traffic (a cold compile through the TPU tunnel takes minutes —

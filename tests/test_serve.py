@@ -137,6 +137,38 @@ def test_identical_captions_offline_and_online(server):
     assert payload["caption"] == srv.pipeline.to_caption(seqs[0], lengths[0])
 
 
+def test_queue_full_is_503(server):
+    """Backpressure: with the batcher's queue at max_queue, further submits
+    shed load with 503 + Retry-After instead of queueing unboundedly."""
+    srv, base = server
+    batcher = srv.batcher
+    img = np.zeros((IMG, IMG, 3), np.float32)
+    old_max = batcher.max_queue
+    batcher.max_queue = 0  # every submit rejects; worker never sees a queue
+    try:
+        req = urllib.request.Request(
+            base + "/caption", data=_png_bytes(3), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 503
+        assert int(exc_info.value.headers["Retry-After"]) >= 1
+        assert "overloaded" in json.loads(exc_info.value.read())["error"]
+        with pytest.raises(serve_mod().QueueFull):
+            batcher.submit(img)
+        assert batcher.stats["rejected"] >= 2
+    finally:
+        batcher.max_queue = old_max
+    status, payload = _post(base, _png_bytes(4))  # recovers once un-full
+    assert status == 200 and isinstance(payload["caption"], str)
+
+
+def serve_mod():
+    import serve
+
+    return serve
+
+
 def test_bad_image_is_400(server):
     _, base = server
     req = urllib.request.Request(
