@@ -189,6 +189,19 @@ def main():
     # /tmp persists between the builder's warm-up runs and the driver's
     # invocation on this machine.
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    # /tmp has been wiped twice mid-round by machine swaps; a gitignored
+    # backup inside the repo survives that, so restore it if the live cache
+    # is gone (TPU executables don't key on host-CPU features, unlike CPU AOT)
+    backup = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".cache_backup", os.path.basename(cache_dir))
+    if not os.path.isdir(cache_dir) and os.path.isdir(backup):
+        import shutil
+
+        try:
+            shutil.copytree(backup, cache_dir)
+            print(f"restored compile cache from {backup}", file=sys.stderr)
+        except Exception:
+            pass
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

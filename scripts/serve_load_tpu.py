@@ -189,12 +189,21 @@ def main() -> None:
         "p99_ms": round(pct(0.99), 1),
         "host_cores": os.cpu_count(),
         "backend": jax.default_backend(),
+        # each device batch ships B×S×S×3 f32 host→device; through the
+        # remote-TPU tunnel of this environment that transfer dominates the
+        # device-batch window (colocated-host PCIe would make it negligible —
+        # compare bench.py's on-device slope for the compute-only number)
+        "batch_upload_mb": round(
+            args.serve_batch * args.image_size**2 * 3 * 4 / 1e6, 1
+        ),
         "server_stats": stats,
     }
     print(json.dumps(result), flush=True)
     # --tiny is a smoke test: report, but don't overwrite committed evidence
     out_dir = os.path.join(REPO, "benchmarks") if not args.tiny else ws
-    out = os.path.join(out_dir, f"serving_http_{jax.default_backend()}.json")
+    out = os.path.join(
+        out_dir, f"serving_http_{jax.default_backend()}_{args.decode}.json"
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", out, flush=True)
