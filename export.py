@@ -8,8 +8,12 @@ sequences, fixed batch), the weights, and the tokenizer — loadable by
 --artifact=DIR``) without constructing the model.
 
 Usage:
-  python export.py --out_dir=DIR [--batch=64] [--beam_search_n=8] [--verify]
-                   [any Config --key=value override]
+  python export.py --out_dir=DIR [--batch=64] [--beam_search_n=8] [--sample]
+                   [--verify] [any Config --key=value override]
+
+``--sample`` additionally freezes the stochastic-serving programs
+(temperature-only + nucleus variants, per-row settings as traced inputs) so
+``serve.py --artifact=DIR --decode=sample`` works without the model code.
 
 Loads the latest checkpoint under ``Config.transformer_checkpoint_path`` (the
 same boot path as serve.py / caption.py).
@@ -24,7 +28,7 @@ import numpy as np
 
 
 def main(argv: list[str]) -> None:
-    out_dir, batch, verify = None, None, False
+    out_dir, batch, verify, sample = None, None, False, False
     passthrough = []
     for arg in argv:
         if arg.startswith("--out_dir="):
@@ -33,11 +37,13 @@ def main(argv: list[str]) -> None:
             batch = int(arg.split("=", 1)[1])
         elif arg == "--verify":
             verify = True
+        elif arg == "--sample":
+            sample = True
         else:
             passthrough.append(arg)
     if not out_dir:
         raise SystemExit("usage: python export.py --out_dir=DIR [--batch=N] "
-                         "[--verify] [config overrides]")
+                         "[--sample] [--verify] [config overrides]")
 
     from fpn_mt_image_captioning_tpu.config import Config
     from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info
@@ -51,9 +57,10 @@ def main(argv: list[str]) -> None:
     )
     try:
         t0 = time.perf_counter()
-        meta = export_serving(pipeline, out_dir, batch=batch)
+        meta = export_serving(pipeline, out_dir, batch=batch, sample=sample)
         print(f"exported {meta['platforms']} batch={meta['batch']} "
-              f"beam={meta['beam_n']} fused={meta['fused_decoder']} to "
+              f"beam={meta['beam_n']} fused={meta['fused_decoder']} "
+              f"sampling={meta['sampling']} to "
               f"{out_dir} in {time.perf_counter() - t0:.1f}s")
         if verify:
             # Serialization-fidelity check: the artifact vs a direct jit of the
@@ -86,6 +93,28 @@ def main(argv: list[str]) -> None:
             print(f"verify: artifact bitwise == direct jit of the exported program: {ok}")
             if not ok:
                 raise SystemExit("verification FAILED")
+            if sample:
+                from fpn_mt_image_captioning_tpu.export import build_sampling_fn
+
+                temps = np.linspace(0.5, 1.2, meta["batch"]).astype(np.float32)
+                tps = np.full(meta["batch"], 0.9, np.float32)
+                fn = build_sampling_fn(
+                    pipeline.transformer, max_len=meta["max_seq_len"],
+                    start_token=meta["start_token"],
+                    end_token=meta["end_token"], nucleus=True,
+                )
+                s_ref, l_ref = jax.jit(fn)(
+                    pipeline.variables, jnp.asarray(imgs), jnp.int32(7),
+                    jnp.asarray(temps), jnp.asarray(tps),
+                )
+                s_art, l_art = served.sample_batch(
+                    imgs, seed=7, temperature=temps, top_p=tps
+                )
+                ok = bool(np.array_equal(np.asarray(s_ref), s_art)
+                          and np.array_equal(np.asarray(l_ref), l_art))
+                print(f"verify: sampling artifact bitwise == direct jit: {ok}")
+                if not ok:
+                    raise SystemExit("sampling verification FAILED")
     finally:
         pipeline.close()
 

@@ -40,6 +40,8 @@ import numpy as np
 
 ARTIFACT_META = "artifact.json"
 ARTIFACT_FN = "serving.jaxexport"
+ARTIFACT_SAMPLE_FN = "sampling.jaxexport"          # temperature-only program
+ARTIFACT_SAMPLE_NUCLEUS_FN = "sampling_nucleus.jaxexport"  # + per-row top_p
 ARTIFACT_WEIGHTS = "weights.msgpack"
 ARTIFACT_TOKENIZER = "tokenizer.json"
 
@@ -76,6 +78,35 @@ def build_serving_fn(model, *, beam_n: int, max_len: int, start_token: int,
 _serving_fn = build_serving_fn
 
 
+def build_sampling_fn(model, *, max_len: int, start_token: int, end_token: int,
+                      nucleus: bool):
+    """The stochastic-serving computation, mirroring ``Pipeline.sample_batch``'s
+    device program: ``(variables, images, seed, temperature[, top_p]) →
+    (seqs, lengths)`` with ``temperature``/``top_p`` per-row (B,) f32 inputs —
+    mixed request settings ride the one exported program, exactly like the
+    live server. Two trace-time variants are exported because ``top_p=None``
+    omits the per-step (B, V) descending sort entirely (the costliest op in
+    the sampling step — CLAUDE.md measured 883 vs 789 img/s)."""
+    from .decode.beam_search import sample_decode
+    from .models.transformer import Transformer
+
+    def _run(variables, images, seed, temperature, top_p):
+        enc = model.apply(variables, images, train=False, method=Transformer.encode)
+        return sample_decode(
+            model, variables, enc, jax.random.PRNGKey(seed),
+            max_len=max_len, start_token=start_token, end_token=end_token,
+            temperature=temperature, top_p=top_p,
+        )
+
+    if nucleus:
+        def sample(variables, images, seed, temperature, top_p):
+            return _run(variables, images, seed, temperature, top_p)
+    else:
+        def sample(variables, images, seed, temperature):
+            return _run(variables, images, seed, temperature, None)
+    return sample
+
+
 def export_with_fallback(fn, *specs):
     """``jax.export.export`` with the Mosaic-custom-call fallback: if this jax
     version doesn't list ``tpu_custom_call`` as stability-guaranteed, export
@@ -96,7 +127,7 @@ def export_with_fallback(fn, *specs):
 
 
 def export_serving(pipeline, out_dir: str, batch: int | None = None,
-                   beam_n: int | None = None) -> dict:
+                   beam_n: int | None = None, sample: bool = False) -> dict:
     """Export ``pipeline``'s serving computation at a fixed ``batch`` to
     ``out_dir``. Returns the artifact metadata dict.
 
@@ -155,6 +186,28 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, ARTIFACT_FN), "wb") as f:
         f.write(exported.serialize())
+    if sample:
+        # stochastic-serving programs (XLA path, no Pallas/VMEM constraints):
+        # per-row seed/temperature/top_p inputs, same fixed image batch
+        seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+        row_spec = jax.ShapeDtypeStruct((batch,), jnp.float32)
+        for fname, nucleus in (
+            (ARTIFACT_SAMPLE_FN, False),
+            (ARTIFACT_SAMPLE_NUCLEUS_FN, True),
+        ):
+            fn = build_sampling_fn(
+                pipeline.transformer,
+                max_len=pipeline.max_seq_len,
+                start_token=pipeline.start_token,
+                end_token=pipeline.end_token, nucleus=nucleus,
+            )
+            specs = [var_spec, img_spec, seed_spec, row_spec]
+            if nucleus:
+                specs.append(row_spec)
+            exported_s, cd = export_with_fallback(fn, *specs)
+            check_disabled = check_disabled or cd
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exported_s.serialize())
     with open(os.path.join(out_dir, ARTIFACT_WEIGHTS), "wb") as f:
         f.write(serialization.to_bytes(variables))
     with open(os.path.join(out_dir, ARTIFACT_TOKENIZER), "w") as f:
@@ -173,6 +226,7 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
         "end_token": pipeline.end_token,
         "target_vocab_size": pipeline.target_vocab_size,
         "compute_dtype": cfg.compute_dtype,
+        "sampling": sample,
     }
     with open(os.path.join(out_dir, ARTIFACT_META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -209,6 +263,16 @@ class ExportedServing:
         self._call = jax.jit(self._exported.call)
         self.batch = int(self.meta["batch"])
         self.image_size = int(self.meta["image_size"])
+        # stochastic-serving programs (present when exported with sample=True)
+        self.supports_sampling = bool(self.meta.get("sampling", False))
+        if self.supports_sampling:
+            self._sample_calls = {}
+            for key, fname in (("plain", ARTIFACT_SAMPLE_FN),
+                               ("nucleus", ARTIFACT_SAMPLE_NUCLEUS_FN)):
+                with open(os.path.join(path, fname), "rb") as f:
+                    self._sample_calls[key] = jax.jit(
+                        jax_export.deserialize(bytearray(f.read())).call
+                    )
 
     def apply_to_config(self, cfg):
         """Reconcile a ``Config`` with the artifact's frozen shape choices
@@ -248,6 +312,56 @@ class ExportedServing:
         seqs, lengths = [], []
         for i in range(0, images.shape[0], self.batch):
             s, l = self._call(self._variables, jnp.asarray(images[i : i + self.batch]))
+            seqs.append(np.asarray(s))
+            lengths.append(np.asarray(l))
+        return np.concatenate(seqs)[:n_real], np.concatenate(lengths)[:n_real]
+
+    def sample_batch(self, images, *, seed: int = 0, temperature=1.0,
+                     top_k: int = 0, top_p=None):
+        """Stochastic captioning from the artifact — ``Pipeline.sample_batch``
+        semantics (scalar-or-per-row temperature/top_p, ``top_p=None`` selects
+        the cheaper no-sort program). Any B ≥ 1: host-side chunked/padded onto
+        the fixed exported batch, with the seed folded per chunk so chunks
+        sample independently yet reproducibly."""
+        if not self.supports_sampling:
+            raise ValueError(
+                "artifact was exported without sampling programs; re-export "
+                "with export.py --sample (or export_serving(sample=True))"
+            )
+        if top_k:
+            raise ValueError("top_k is a trace-time constant the artifact was "
+                             "exported without; re-export to change it")
+        images = np.asarray(images, np.float32)
+        if images.shape[0] == 0:
+            raise ValueError("sample_batch: empty batch (need at least 1 image)")
+        if images.shape[1:] != (self.image_size, self.image_size, 3):
+            raise ValueError(
+                f"expected (B, {self.image_size}, {self.image_size}, 3) images, "
+                f"got {images.shape}"
+            )
+        n_real = images.shape[0]
+        temperature = np.broadcast_to(
+            np.asarray(temperature, np.float32), (n_real,)
+        )
+        if top_p is not None:
+            top_p = np.broadcast_to(np.asarray(top_p, np.float32), (n_real,))
+        pad = (-n_real) % self.batch
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
+            )
+            temperature = np.concatenate([temperature, np.ones(pad, np.float32)])
+            if top_p is not None:
+                top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
+        call = self._sample_calls["nucleus" if top_p is not None else "plain"]
+        seqs, lengths = [], []
+        for chunk, i in enumerate(range(0, images.shape[0], self.batch)):
+            sl = slice(i, i + self.batch)
+            args = [self._variables, jnp.asarray(images[sl]),
+                    jnp.int32(seed + chunk), jnp.asarray(temperature[sl])]
+            if top_p is not None:
+                args.append(jnp.asarray(top_p[sl]))
+            s, l = call(*args)
             seqs.append(np.asarray(s))
             lengths.append(np.asarray(l))
         return np.concatenate(seqs)[:n_real], np.concatenate(lengths)[:n_real]

@@ -282,6 +282,9 @@ class _Handler(BaseHTTPRequestHandler):
             done = st["batches"] * srv.batcher.batch - st["images_padded"]
             st["mean_batch_fill"] = round(
                 done / st["batches"], 2) if st["batches"] else 0.0
+            # live queue depth vs capacity: the autoscaling/backpressure signal
+            st["queue_depth"] = len(srv.batcher._queue)
+            st["max_queue"] = srv.batcher.max_queue
             st["device_batch_ms"] = {
                 k: round(v, 2) for k, v in srv.batcher.timer.summary().items()
             }
@@ -367,11 +370,12 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
     &top_p= query params ride the one compiled program as per-row inputs)."""
     if decode not in ("beam", "sample"):
         raise ValueError(f"decode must be 'beam' or 'sample', got {decode!r}")
-    if decode == "sample" and pipeline is not None and not hasattr(
-        pipeline, "sample_batch"
+    if decode == "sample" and pipeline is not None and not getattr(
+        pipeline, "supports_sampling", hasattr(pipeline, "sample_batch")
     ):
-        raise ValueError("--decode=sample needs a live Pipeline (a compiled "
-                         "--artifact freezes the beam-search program)")
+        raise ValueError("--decode=sample needs a live Pipeline or an artifact "
+                         "exported with `export.py --sample` (this artifact "
+                         "carries only the beam-search program)")
     if pipeline is None:
         max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
         pipeline = Pipeline(

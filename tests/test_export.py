@@ -40,7 +40,7 @@ def exported(tmp_path_factory):
     pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
                         max_seq_len, config=cfg)
     out_dir = str(root / "artifact")
-    meta = export_serving(pipeline, out_dir, batch=2)
+    meta = export_serving(pipeline, out_dir, batch=2, sample=True)
     served = load_serving(out_dir)
     yield pipeline, served, meta, out_dir
     pipeline.close()
@@ -48,13 +48,15 @@ def exported(tmp_path_factory):
 
 def test_artifact_layout_and_meta(exported):
     pipeline, served, meta, out_dir = exported
-    for fname in ("serving.jaxexport", "weights.msgpack", "tokenizer.json",
-                  "artifact.json"):
+    for fname in ("serving.jaxexport", "sampling.jaxexport",
+                  "sampling_nucleus.jaxexport", "weights.msgpack",
+                  "tokenizer.json", "artifact.json"):
         assert os.path.exists(os.path.join(out_dir, fname))
     assert meta["batch"] == 2 and meta["beam_n"] == 2
     assert meta["image_size"] == IMG
     assert meta["max_seq_len"] == pipeline.max_seq_len
     assert meta["fused_decoder"] is False  # CPU test backend
+    assert meta["sampling"] is True and served.supports_sampling
     with open(os.path.join(out_dir, "artifact.json")) as f:
         assert json.load(f) == meta
 
@@ -74,6 +76,108 @@ def test_roundtrip_equals_pipeline(exported):
 
     caps_ref = [pipeline.to_caption(s, n) for s, n in zip(s_ref, l_ref)]
     assert served.caption(imgs) == caps_ref
+
+
+def test_sampling_roundtrip(exported):
+    """The sampling programs survive serialize → deserialize bitwise (direct
+    jit of the SAME traced fn as reference), including host-side chunking of
+    a non-multiple batch with per-chunk seed folding, and a near-zero
+    temperature reproduces the greedy (beam-1) caption."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.export import build_sampling_fn
+
+    pipeline, served, meta, _ = exported
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(-1, 1, (3, IMG, IMG, 3)).astype(np.float32)
+    temps = np.asarray([0.7, 1.0, 1.3], np.float32)
+    tps = np.asarray([0.9, 1.0, 0.8], np.float32)
+
+    # reference: run the exact exported computation chunk by chunk (batch 2)
+    fn = build_sampling_fn(
+        pipeline.transformer, max_len=meta["max_seq_len"],
+        start_token=meta["start_token"], end_token=meta["end_token"],
+        nucleus=True,
+    )
+    fn = jax.jit(fn)
+    pad = lambda a, v: np.concatenate([a, np.full(1, v, a.dtype)])  # noqa: E731
+    imgs_p = np.concatenate([imgs, np.zeros((1, IMG, IMG, 3), np.float32)])
+    t_p, tp_p = pad(temps, 1.0), pad(tps, 1.0)
+    chunks = [
+        fn(pipeline.variables, jnp.asarray(imgs_p[i : i + 2]),
+           jnp.int32(5 + c), jnp.asarray(t_p[i : i + 2]),
+           jnp.asarray(tp_p[i : i + 2]))
+        for c, i in enumerate(range(0, 4, 2))
+    ]
+    s_ref = np.concatenate([np.asarray(s) for s, _ in chunks])[:3]
+    l_ref = np.concatenate([np.asarray(l) for _, l in chunks])[:3]
+
+    s_art, l_art = served.sample_batch(imgs, seed=5, temperature=temps, top_p=tps)
+    np.testing.assert_array_equal(l_ref, l_art)
+    np.testing.assert_array_equal(s_ref, s_art)
+
+    # behavioral sanity: near-greedy sampling == beam-1 decode, via the
+    # temperature-only (no-sort) program
+    s_g, l_g = served.sample_batch(imgs[:1], temperature=1e-7)
+    s_b, l_b = pipeline.predict_batch(imgs[:1], beam_n=1)
+    assert served.to_caption(s_g[0], l_g[0]) == pipeline.to_caption(s_b[0], l_b[0])
+
+    with pytest.raises(ValueError, match="top_k"):
+        served.sample_batch(imgs, top_k=5)
+
+
+def test_sampling_artifact_over_http(exported):
+    """serve.py --artifact --decode=sample: per-request sampling params ride
+    the exported programs without any model code."""
+    import io
+
+    from PIL import Image
+
+    import serve
+
+    _, served, meta, _ = exported
+    cfg_srv = Config(image_input_size=IMG, beam_search_n=meta["beam_n"],
+                     decode_batch=meta["batch"], compute_dtype="float32")
+    srv = serve.make_server(cfg_srv, port=0, serve_batch=meta["batch"],
+                            max_delay_ms=20.0, pipeline=served,
+                            decode="sample", sample_seed=11)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        arr = np.random.default_rng(3).integers(0, 255, (IMG, IMG), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").convert("RGB").save(buf, format="PNG")
+        req = urllib.request.Request(
+            base + "/caption?temperature=0.8&top_p=0.95",
+            data=buf.getvalue(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert isinstance(json.loads(r.read())["caption"], str)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
+def test_beam_only_artifact_refuses_sampling(exported, tmp_path):
+    """Without --sample the artifact carries only the beam program: its
+    sample_batch raises, and make_server(decode='sample') refuses it."""
+    import serve
+    from fpn_mt_image_captioning_tpu.export import export_serving, load_serving
+
+    pipeline, _, meta, _ = exported
+    out = str(tmp_path / "beam_only")
+    m = export_serving(pipeline, out, batch=2)  # sample defaults to False
+    assert m["sampling"] is False
+    served = load_serving(out)
+    assert not served.supports_sampling
+    with pytest.raises(ValueError, match="--sample"):
+        served.sample_batch(np.zeros((1, IMG, IMG, 3), np.float32))
+    cfg_srv = Config(image_input_size=IMG, decode_batch=2)
+    with pytest.raises(ValueError, match="--sample"):
+        serve.make_server(cfg_srv, port=0, pipeline=served, decode="sample")
 
 
 def test_beam_mismatch_rejected(exported):

@@ -129,6 +129,25 @@ def test_caption_serving_cli(workspace):
 
 
 @pytest.mark.slow
+def test_export_cli_sample_verify(workspace):
+    """export.py --sample --verify: freezes beam + both sampling programs and
+    self-checks the deserialized artifacts bitwise against direct jits."""
+    if not (workspace / "datasets/_tokenizer.json").exists():
+        r0 = run_script("train.py", COMMON, cwd=workspace)
+        assert r0.returncode == 0, r0.stderr[-3000:]
+    r = run_script(
+        "export.py",
+        ["--out_dir=artifact_s", "--batch=2", "--sample", "--verify", *COMMON],
+        cwd=workspace,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "sampling artifact bitwise == direct jit: True" in r.stdout
+    for fname in ("serving.jaxexport", "sampling.jaxexport",
+                  "sampling_nucleus.jaxexport"):
+        assert (workspace / "artifact_s" / fname).exists()
+
+
+@pytest.mark.slow
 def test_caption_latency_flag(workspace):
     """`--latency=N` reports end-to-end single-request percentiles (the honest
     request-latency row — bench.py's batch-1 slope is device compute only)."""

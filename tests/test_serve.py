@@ -106,6 +106,8 @@ def test_concurrent_requests_are_batched(server):
     assert stats["requests"] >= n
     assert stats["mean_batch_fill"] > 1.0
     assert stats["errors"] == 0
+    assert stats["queue_depth"] == 0  # drained: all futures resolved
+    assert stats["max_queue"] == 8 * 4  # default: 8 device batches
 
 
 def test_stats_reset(server):
