@@ -11,7 +11,11 @@ Flagship dims (d_model=512, 6 layers, dff=2048, vocab 2000, 512² input) at a
 small batch so the two remote compiles (direct jit + deserialized call) stay
 tunnel-friendly. Prints one JSON verdict line.
 
-Run:  timeout 3600 python scripts/verify_export_on_tpu.py [--batch N]
+Run:  timeout 3600 python scripts/verify_export_on_tpu.py [--batch N] [--sample]
+
+``--sample`` additionally validates the stochastic-serving export (the
+nucleus-variant program with per-row temperature/top_p inputs) the same way —
+XLA-only, so the risk surface is export fidelity rather than the custom call.
 """
 
 from __future__ import annotations
@@ -89,6 +93,53 @@ def main():
         "batch": batch,
         "blob_mb": round(len(blob) / 1e6, 2),
         "custom_call_check_disabled": disabled,
+        "sequences_bitwise_equal": seq_eq,
+        "lengths_bitwise_equal": len_eq,
+        "export_s": round(t_export, 1),
+        "direct_first_call_s": round(t_direct, 1),
+        "artifact_first_call_s": round(t_art, 1),
+        "ok": seq_eq and len_eq,
+    }), flush=True)
+    if not (seq_eq and len_eq):
+        raise SystemExit(1)
+
+    if "--sample" not in sys.argv:
+        return
+    from fpn_mt_image_captioning_tpu.export import build_sampling_fn
+
+    fn = build_sampling_fn(
+        model, max_len=max_len, start_token=1, end_token=vocab - 1, nucleus=True
+    )
+    seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    row_spec = jax.ShapeDtypeStruct((batch,), jnp.float32)
+
+    t0 = time.time()
+    exported_s, disabled_s = export_with_fallback(
+        fn, var_spec, img_spec, seed_spec, row_spec, row_spec
+    )
+    blob_s = exported_s.serialize()
+    t_export = time.time() - t0
+    restored_s = jax_export.deserialize(bytearray(blob_s))
+
+    temps = jnp.asarray(np.linspace(0.6, 1.2, batch), jnp.float32)
+    tps = jnp.full((batch,), 0.92, jnp.float32)
+    args = (variables, imgs, jnp.int32(13), temps, tps)
+
+    t0 = time.time()
+    s_direct, l_direct = (np.asarray(x) for x in jax.jit(fn)(*args))
+    t_direct = time.time() - t0
+    t0 = time.time()
+    s_art, l_art = (np.asarray(x) for x in jax.jit(restored_s.call)(*args))
+    t_art = time.time() - t0
+
+    seq_eq = bool(np.array_equal(s_direct, s_art))
+    len_eq = bool(np.array_equal(l_direct, l_art))
+    print(json.dumps({
+        "check": "jax.export sampling artifact on-chip (nucleus program)",
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "blob_mb": round(len(blob_s) / 1e6, 2),
+        "custom_call_check_disabled": disabled_s,
         "sequences_bitwise_equal": seq_eq,
         "lengths_bitwise_equal": len_eq,
         "export_s": round(t_export, 1),
