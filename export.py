@@ -115,6 +115,29 @@ def main(argv: list[str]) -> None:
                 print(f"verify: sampling artifact bitwise == direct jit: {ok}")
                 if not ok:
                     raise SystemExit("sampling verification FAILED")
+
+                # and the TEMPERATURE-ONLY program (sampling.jaxexport) — the
+                # one serve.py runs for default top_p=1 traffic; it is a
+                # distinct serialized blob, so verifying only the nucleus
+                # variant would let a corrupt plain program reach deployment
+                fn_plain = build_sampling_fn(
+                    pipeline.transformer, max_len=meta["max_seq_len"],
+                    start_token=meta["start_token"],
+                    end_token=meta["end_token"], nucleus=False,
+                )
+                s_ref, l_ref = jax.jit(fn_plain)(
+                    pipeline.variables, jnp.asarray(imgs), jnp.int32(7),
+                    jnp.asarray(temps),
+                )
+                s_art, l_art = served.sample_batch(
+                    imgs, seed=7, temperature=temps
+                )
+                ok = bool(np.array_equal(np.asarray(s_ref), s_art)
+                          and np.array_equal(np.asarray(l_ref), l_art))
+                print("verify: temperature-only sampling artifact bitwise == "
+                      f"direct jit: {ok}")
+                if not ok:
+                    raise SystemExit("plain-sampling verification FAILED")
     finally:
         pipeline.close()
 

@@ -126,6 +126,18 @@ def export_with_fallback(fn, *specs):
         return exported, True
 
 
+def fold_chunk_seed(seed: int, chunk: int) -> int:
+    """Per-chunk PRNG seed for host-side chunked sampling. Chunk 0 keeps
+    ``seed`` exactly (single-chunk calls stay bit-equal to the live pipeline's
+    ``PRNGKey(seed)`` program); later chunks stride by a large prime so a
+    caller issuing CONSECUTIVE per-batch seeds (serve.py's batcher) can never
+    reuse a chunk key across batches — the old ``seed + chunk`` fold collided
+    (batch N's chunk 1 == batch N+1's chunk 0 → identical 'random' captions).
+    Result is wrapped into int32 range for the exported scalar-seed input."""
+    v = int(seed) + chunk * 1_000_003
+    return (v + 2**31) % 2**32 - 2**31
+
+
 def export_serving(pipeline, out_dir: str, batch: int | None = None,
                    beam_n: int | None = None, sample: bool = False) -> dict:
     """Export ``pipeline``'s serving computation at a fixed ``batch`` to
@@ -321,8 +333,9 @@ class ExportedServing:
         """Stochastic captioning from the artifact — ``Pipeline.sample_batch``
         semantics (scalar-or-per-row temperature/top_p, ``top_p=None`` selects
         the cheaper no-sort program). Any B ≥ 1: host-side chunked/padded onto
-        the fixed exported batch, with the seed folded per chunk so chunks
-        sample independently yet reproducibly."""
+        the fixed exported batch, with the seed folded per chunk
+        (:func:`fold_chunk_seed`) so chunks sample independently yet
+        reproducibly."""
         if not self.supports_sampling:
             raise ValueError(
                 "artifact was exported without sampling programs; re-export "
@@ -358,7 +371,8 @@ class ExportedServing:
         for chunk, i in enumerate(range(0, images.shape[0], self.batch)):
             sl = slice(i, i + self.batch)
             args = [self._variables, jnp.asarray(images[sl]),
-                    jnp.int32(seed + chunk), jnp.asarray(temperature[sl])]
+                    jnp.int32(fold_chunk_seed(seed, chunk)),
+                    jnp.asarray(temperature[sl])]
             if top_p is not None:
                 args.append(jnp.asarray(top_p[sl]))
             s, l = call(*args)

@@ -145,18 +145,40 @@ def main() -> None:
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     body = synthetic_png(args.image_size)
 
-    def one(_i: int) -> float:
+    shed = {"retries": 0, "failures": 0}
+    shed_lock = threading.Lock()
+
+    def one(_i: int) -> float | None:
+        """One request → client latency in seconds. 503 (load shedding is a
+        DESIGNED response above max_queue) retries after Retry-After; other
+        failures are counted, not raised — one bad response must not abort a
+        multi-minute TPU measurement (latency then includes the backoff, as a
+        real client would experience it)."""
         t0 = time.perf_counter()
         url = base + "/caption" + (
             "?temperature=0.8&top_p=0.95" if args.decode == "sample" else ""
         )
-        req = urllib.request.Request(url, data=body, method="POST")
-        with urllib.request.urlopen(req, timeout=3600) as r:
-            json.loads(r.read())
-        return time.perf_counter() - t0
+        for _attempt in range(50):
+            req = urllib.request.Request(url, data=body, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=3600) as r:
+                    json.loads(r.read())
+                return time.perf_counter() - t0
+            except urllib.error.HTTPError as e:
+                if e.code != 503:
+                    break
+                with shed_lock:
+                    shed["retries"] += 1
+                time.sleep(float(e.headers.get("Retry-After", 1)))
+            except Exception:
+                break
+        with shed_lock:
+            shed["failures"] += 1
+        return None
 
     t0 = time.perf_counter()
-    one(0)  # first batch compiles encode + decode through the tunnel
+    if one(0) is None:  # first batch compiles encode + decode via the tunnel
+        raise SystemExit("warm-up request failed — aborting the load run")
     print(f"warm-up request (compile) in {time.perf_counter() - t0:.1f}s",
           flush=True)
     # keep the compile batch out of the measured device-time percentiles
@@ -166,8 +188,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
-        times = sorted(pool.map(one, range(args.n)))
+        times = sorted(t for t in pool.map(one, range(args.n)) if t is not None)
     wall = time.perf_counter() - t0
+    if not times:
+        raise SystemExit("every request failed — no percentiles to report")
 
     def pct(p: float) -> float:
         return times[max(math.ceil(p * len(times)) - 1, 0)] * 1000
@@ -177,9 +201,12 @@ def main() -> None:
 
     result = {
         "metric": f"served requests/sec over HTTP ({args.decode} decode)",
-        "value": round(args.n / wall, 2),
+        "value": round(len(times) / wall, 2),
         "unit": "req/s",
         "n": args.n,
+        "completed": len(times),
+        "client_503_retries": shed["retries"],
+        "client_failures": shed["failures"],
         "concurrency": args.concurrency,
         "serve_batch": args.serve_batch,
         "image_size": args.image_size,

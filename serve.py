@@ -42,7 +42,8 @@ bursts don't RST at the TCP accept queue.
 Usage:
   python serve.py [--port=8500] [--serve_batch=64] [--max_delay_ms=10]
                   [--beam_search_n=8] [--decode=beam|sample] [--sample_seed=N]
-                  [--max_queue=N] [any Config --key=value override]
+                  [--max_queue=N] [--request_timeout_s=1800]
+                  [any Config --key=value override]
   python serve.py --artifact=DIR [...]   # serve a compiled export.py artifact
                                          # (no model code / checkpoint needed)
 
@@ -120,6 +121,9 @@ class DynamicBatcher:
         }
         self.timer = StepTimer(window=512)  # device time per batch
         self._batch_seq = 0  # sampling-seed counter; survives reset_stats
+        # bumped by reset_stats: a batch in flight across a reset must not
+        # leak its counters/timing into the freshly zeroed window
+        self._stats_gen = 0
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -132,6 +136,7 @@ class DynamicBatcher:
             for k in self.stats:
                 self.stats[k] = 0
             self.timer = StepTimer(window=512)
+            self._stats_gen += 1
 
     def submit(self, img: np.ndarray, temperature: float = 1.0,
                top_p: float = 1.0) -> Future:
@@ -172,14 +177,20 @@ class DynamicBatcher:
             items = self._take_batch()
             if items is None:
                 return
+            with self._lock:
+                # snapshot: if reset_stats lands mid-batch, this batch's
+                # timing/counters go to the OLD generation's timer/stats and
+                # never pollute the freshly zeroed window
+                gen, timer = self._stats_gen, self.timer
             imgs = np.stack([im for im, _, _, _ in items])
             pad = self.batch - len(items)
             if pad:  # fixed compiled shape: pad the tail, decode rows discarded
                 imgs = np.concatenate(
                     [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
                 )
+            failed = False
             try:
-                self.timer.start()
+                timer.start()
                 if self.decode == "sample":
                     temps = np.ones(self.batch, np.float32)
                     tps = np.ones(self.batch, np.float32)
@@ -199,30 +210,38 @@ class DynamicBatcher:
                     seqs, lengths = self.pipeline.predict_batch(
                         imgs, beam_n=self.beam_n
                     )
-                self.timer.stop()
+                timer.stop()
                 for i, (_, _, _, fut) in enumerate(items):
-                    fut.set_result(
-                        (self.pipeline.to_caption(seqs[i], lengths[i]), int(lengths[i]))
-                    )
+                    if not fut.done():  # close() may have failed it already
+                        fut.set_result((
+                            self.pipeline.to_caption(seqs[i], lengths[i]),
+                            int(lengths[i]),
+                        ))
             except BaseException as e:  # noqa: BLE001 - all callers must unblock
-                self.stats["errors"] += 1
+                failed = True
                 for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
-            self.stats["batches"] += 1
-            self._batch_seq += 1
-            self.stats["images_padded"] += pad
+            with self._lock:
+                self._batch_seq += 1
+                if gen == self._stats_gen:
+                    self.stats["batches"] += 1
+                    self.stats["images_padded"] += pad
+                    if failed:
+                        self.stats["errors"] += 1
 
     def close(self):
         with self._lock:
             self._closed = True
             self._lock.notify_all()
         self._thread.join(timeout=30)
-        # unblock any requests that raced the close
-        for *_, fut in self._queue:
+        # unblock any requests that raced the close — swap the queue out under
+        # the lock so a still-running worker can't concurrently slice it
+        with self._lock:
+            leftovers, self._queue = self._queue, []
+        for *_, fut in leftovers:
             if not fut.done():
                 fut.set_exception(RuntimeError("server shutting down"))
-        self._queue = []
 
 
 class CaptionServer(ThreadingHTTPServer):
@@ -247,17 +266,21 @@ class CaptionServer(ThreadingHTTPServer):
     def close(self):
         self.batcher.close()
         self.pipeline.close()
+        self.server_close()  # release the listening socket (shutdown() doesn't)
 
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server: CaptionServer
 
-    def _reply(self, code: int, payload: dict):
+    def _reply(self, code: int, payload: dict,
+               extra_headers: dict[str, str] | None = None):
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -296,27 +319,39 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlsplit
 
         parts = urlsplit(self.path)
+        length = int(self.headers.get("Content-Length", 0))
+
+        def drain():  # unread bodies corrupt HTTP/1.1 keep-alive framing:
+            if length:  # the NEXT request on the connection would be parsed
+                self.rfile.read(length)  # starting at the leftover bytes
+
         if parts.path == "/stats/reset":
+            drain()
             self.server.batcher.reset_stats()
             self._reply(200, {"status": "reset"})
             return
         if parts.path != "/caption":
+            drain()
             self._reply(404, {"error": f"no such path {self.path}"})
             return
         srv = self.server
         query = parse_qs(parts.query)
-        length = int(self.headers.get("Content-Length", 0))
 
-        def reject(msg):  # drain the body first: keep-alive framing survives
-            if length:
-                self.rfile.read(length)
+        def reject(msg):
+            drain()
             self._reply(400, {"error": msg})
 
         try:
+            import math
+
             temperature = float(query.get("temperature", ["1.0"])[0])
             top_p = float(query.get("top_p", ["1.0"])[0])
-            if temperature < 0 or not (0 < top_p <= 1):
-                raise ValueError("temperature >= 0 and 0 < top_p <= 1 required")
+            # NaN slips through plain comparisons (nan < 0 is False) and would
+            # poison that row's logits — require finite explicitly
+            if not math.isfinite(temperature) or temperature < 0 \
+                    or not (0 < top_p <= 1):
+                raise ValueError("finite temperature >= 0 and 0 < top_p <= 1 "
+                                 "required")
         except ValueError as e:
             reject(f"bad sampling params: {e}")
             return
@@ -348,13 +383,8 @@ class _Handler(BaseHTTPRequestHandler):
             # load shedding: the queue is max_queue deep — tell the client to
             # back off for roughly one device-batch time rather than queueing
             ms = srv.batcher.timer.summary().get("p50_ms", 100.0)
-            self.send_response(503)
-            body = json.dumps({"error": f"overloaded: {e}"}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.send_header("Retry-After", str(max(1, round(ms / 1000))))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply(503, {"error": f"overloaded: {e}"},
+                        extra_headers={"Retry-After": str(max(1, round(ms / 1000)))})
         except Exception as e:
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -362,8 +392,8 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
                 serve_batch: int | None = None, max_delay_ms: float = 10.0,
                 pipeline: Pipeline | None = None, decode: str = "beam",
-                sample_seed: int = 0,
-                max_queue: int | None = None) -> CaptionServer:
+                sample_seed: int = 0, max_queue: int | None = None,
+                request_timeout_s: float = 600.0) -> CaptionServer:
     """Build (but don't run) the server; tests use port=0 + serve_forever in a
     thread. ``pipeline=None`` loads tokenizer + latest checkpoint per Config.
     ``decode="sample"`` serves stochastic captions (per-request ?temperature=
@@ -384,6 +414,7 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
         )
     batch = serve_batch or max(cfg.decode_batch, 1)
     return CaptionServer((host, port), pipeline, cfg, batch, max_delay_ms,
+                         request_timeout_s=request_timeout_s,
                          decode=decode, sample_seed=sample_seed,
                          max_queue=max_queue)
 
@@ -392,10 +423,15 @@ def main(argv: list[str]) -> None:
     host, port, serve_batch, max_delay_ms = "0.0.0.0", 8500, None, 10.0
     artifact, decode, sample_seed = None, "beam", 0
     max_queue = None
+    # server-side cap on how long a request may wait for its batch result;
+    # must cover a cold compile through the tunnel (846 s observed once)
+    request_timeout_s = 1800.0
     passthrough = []
     for arg in argv:
         if arg.startswith("--max_queue="):
             max_queue = int(arg.split("=", 1)[1])
+        elif arg.startswith("--request_timeout_s="):
+            request_timeout_s = float(arg.split("=", 1)[1])
         elif arg.startswith("--port="):
             port = int(arg.split("=", 1)[1])
         elif arg.startswith("--host="):
@@ -423,7 +459,8 @@ def main(argv: list[str]) -> None:
         cfg = pipeline.apply_to_config(cfg)
     server = make_server(cfg, host, port, serve_batch, max_delay_ms,
                          pipeline=pipeline, decode=decode,
-                         sample_seed=sample_seed, max_queue=max_queue)
+                         sample_seed=sample_seed, max_queue=max_queue,
+                         request_timeout_s=request_timeout_s)
 
     # warm-up: compile the fixed-shape encode + decode programs before
     # accepting traffic (a cold compile through the TPU tunnel takes minutes —
@@ -448,7 +485,6 @@ def main(argv: list[str]) -> None:
     # graceful SIGTERM (the standard orchestrator stop signal): finish
     # in-flight batches, refuse new work, release the device
     import signal
-    import threading
 
     signal.signal(
         signal.SIGTERM,

@@ -86,7 +86,10 @@ def test_sampling_roundtrip(exported):
     import jax
     import jax.numpy as jnp
 
-    from fpn_mt_image_captioning_tpu.export import build_sampling_fn
+    from fpn_mt_image_captioning_tpu.export import (
+        build_sampling_fn,
+        fold_chunk_seed,
+    )
 
     pipeline, served, meta, _ = exported
     rng = np.random.default_rng(1)
@@ -106,7 +109,7 @@ def test_sampling_roundtrip(exported):
     t_p, tp_p = pad(temps, 1.0), pad(tps, 1.0)
     chunks = [
         fn(pipeline.variables, jnp.asarray(imgs_p[i : i + 2]),
-           jnp.int32(5 + c), jnp.asarray(t_p[i : i + 2]),
+           jnp.int32(fold_chunk_seed(5, c)), jnp.asarray(t_p[i : i + 2]),
            jnp.asarray(tp_p[i : i + 2]))
         for c, i in enumerate(range(0, 4, 2))
     ]
@@ -269,3 +272,20 @@ def test_serve_from_artifact(exported):
     finally:
         srv.shutdown()
         srv.batcher.close()  # not srv.close(): the pipeline fixture is shared
+
+
+def test_fold_chunk_seed_properties():
+    """Chunk 0 preserves the seed (single-chunk bit-equality with the live
+    pipeline); consecutive per-batch seeds (serve.py's batcher) can never
+    reuse a chunk key across batches (the old ``seed + chunk`` fold collided:
+    batch N chunk 1 == batch N+1 chunk 0); values stay int32-safe for the
+    exported scalar-seed input."""
+    from fpn_mt_image_captioning_tpu.export import fold_chunk_seed
+
+    assert fold_chunk_seed(5, 0) == 5
+    seen = {fold_chunk_seed(s, c) for s in range(64) for c in range(8)}
+    assert len(seen) == 64 * 8
+    for seed in (0, -7, 2**31 - 1, -(2**31)):
+        for chunk in (0, 1, 9999):
+            v = fold_chunk_seed(seed, chunk)
+            assert -(2**31) <= v < 2**31

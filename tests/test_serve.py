@@ -246,6 +246,98 @@ def test_sampling_params_rejected_in_beam_mode(server):
     assert status == 200 and isinstance(payload["caption"], str)
 
 
+def test_post_body_to_stats_reset_keeps_keepalive(server):
+    """Regression: POST bodies to /stats/reset and unknown paths must be
+    drained before replying — an unread body on an HTTP/1.1 keep-alive
+    connection would be parsed as the start of the NEXT request."""
+    import http.client
+
+    _, base = server
+    host, port = base.removeprefix("http://").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        conn.request("POST", "/stats/reset", body=b"x" * 4096)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        conn.request("POST", "/capton", body=_png_bytes(5))  # typo'd path
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # the SAME connection must still frame a real request correctly
+        conn.request("POST", "/caption", body=_png_bytes(6))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert isinstance(json.loads(resp.read())["caption"], str)
+    finally:
+        conn.close()
+
+
+def test_stats_reset_mid_batch_not_polluted():
+    """A batch in flight across POST /stats/reset must not leak its counters
+    or timing into the freshly zeroed window (the load-test protocol resets
+    right after its warm-up request resolves — i.e. exactly while the worker
+    is still doing that batch's bookkeeping)."""
+    import serve
+
+    entered, release = threading.Event(), threading.Event()
+
+    class _Blocking:
+        def predict_batch(self, images, beam_n=None):
+            entered.set()
+            release.wait(timeout=30)
+            b = images.shape[0]
+            return np.ones((b, 5), np.int32), np.full((b,), 5, np.int32)
+
+        def to_caption(self, seq, n):
+            return "c"
+
+        def close(self):
+            pass
+
+    b = serve.DynamicBatcher(_Blocking(), batch=2, max_delay_ms=1.0)
+    try:
+        fut = b.submit(np.zeros((8, 8, 3), np.float32))
+        assert entered.wait(timeout=30)
+        b.reset_stats()  # lands while the batch is on the "device"
+        release.set()
+        fut.result(timeout=30)
+        deadline = time.time() + 10
+        while b._batch_seq < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert b._batch_seq == 1  # seed sequence still advances (no replays)
+        assert b.stats["batches"] == 0  # pre-reset batch excluded...
+        assert b.stats["images_padded"] == 0
+        assert b.timer.summary().get("steps", 0) == 0  # ...and no 0-ms sample
+    finally:
+        b.close()
+
+
+def test_request_timeout_plumbed():
+    """make_server must pass request_timeout_s through to the handler's
+    future wait (cold tunnel compiles have exceeded the old hard 600s)."""
+    import serve
+
+    class _Dummy:
+        def predict_batch(self, images, beam_n=None):
+            b = images.shape[0]
+            return np.ones((b, 2), np.int32), np.full((b,), 2, np.int32)
+
+        def to_caption(self, seq, n):
+            return "c"
+
+        def close(self):
+            pass
+
+    srv = serve.make_server(Config(image_input_size=64), port=0,
+                            pipeline=_Dummy(), request_timeout_s=1234.5)
+    try:
+        assert srv.request_timeout_s == 1234.5
+    finally:
+        srv.batcher.close()
+        srv.server_close()
+
+
 def test_sampling_mode_server(server):
     """--decode=sample: per-request temperature rides the shared program; a
     near-zero temperature reproduces the greedy (beam-1) caption."""
@@ -281,6 +373,16 @@ def test_sampling_mode_server(server):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=60)
         assert exc_info.value.code == 400
+
+        # NaN passes naive range checks (nan < 0 is False) — must be rejected
+        # explicitly, not forwarded to poison the row's logits
+        req = urllib.request.Request(
+            base + "/caption?temperature=nan", data=png, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc_info.value.code == 400
+        assert "finite" in json.loads(exc_info.value.read())["error"]
     finally:
         smp.shutdown()
         smp.batcher.close()  # pipeline is the module fixture's — keep it open
