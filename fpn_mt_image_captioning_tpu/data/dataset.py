@@ -161,9 +161,13 @@ class DecodedImageCache:
                 manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
+        try:  # a missing/truncated .bin (e.g. /tmp cleanup) means rebuild,
+            size = os.path.getsize(self.bin_path)  # not crash
+        except OSError:
+            return False
         return (
             manifest.get("fingerprint") == self._fingerprint()
-            and os.path.getsize(self.bin_path) == int(np.prod(self.shape))
+            and size == int(np.prod(self.shape))
         )
 
     def build(self, chunk: int = 64) -> None:
@@ -211,6 +215,7 @@ class _Prefetcher:
         q = self._q = queue.Queue(maxsize=depth)
         stop = self._stop = threading.Event()
         errbox = self._errbox = []
+        self._done = False  # terminal: no further q.get (it could block forever)
         end = _Prefetcher._END
 
         def put(item) -> bool:
@@ -236,6 +241,7 @@ class _Prefetcher:
         self._t.start()
 
     def close(self):
+        self._done = True
         self._stop.set()
         try:  # drain so a producer blocked in q.put observes the stop promptly
             while True:
@@ -250,12 +256,18 @@ class _Prefetcher:
         return self
 
     def __next__(self):
+        # terminal after exhaustion / a propagated error / close(): the
+        # producer is gone, so another q.get() would block forever
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._END:
+            self._done = True
             self._stop.set()
             if self._errbox:
                 raise self._errbox[0]
             raise StopIteration
+        return item
         return item
 
 
@@ -283,8 +295,13 @@ class CocoCaptionDataset:
     ):
         assert len(img_paths) == len(captions_token)
         if shard_count > 1:
-            img_paths = img_paths[shard_index::shard_count]
-            captions_token = captions_token[shard_index::shard_count]
+            # equal-length shards: every process must run the SAME number of
+            # (collective) train steps per epoch or the pod deadlocks — the
+            # strided slice gives some shards one extra example, so truncate
+            # all of them to the common floor (loses < shard_count examples)
+            n_equal = len(img_paths) // shard_count
+            img_paths = img_paths[shard_index::shard_count][:n_equal]
+            captions_token = captions_token[shard_index::shard_count][:n_equal]
         self.img_paths = img_paths
         self.captions_token = captions_token
         self.batch_size = batch_size
@@ -380,7 +397,7 @@ def get_coco_images_dataset(
     captions_token = tokenizer.texts_to_sequences(captions)
 
     set_len = math.ceil(len(captions_token) / cfg.batch_size)
-    max_seq_len = max(map(len, captions_token))
+    max_seq_len = calc_max_length(captions_token)
     captions_token = pad_sequences(captions_token, padding="post")
 
     imgs = coco.loadImgs(imgIds)

@@ -307,7 +307,13 @@ def sample_decode(
             probs = jax.nn.softmax(logits, axis=-1)
             sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
             csum = jnp.cumsum(sorted_probs, axis=-1)
-            keep_sorted = (csum - sorted_probs) < top_p[:, None]  # mass BEFORE it
+            # clamp like temperature: at top_p<=0 an unclamped threshold keeps
+            # NOTHING (0 < 0 is False) and masking all logits would degrade to
+            # uniform sampling over the whole vocab; any positive threshold
+            # keeps at least the top token (its mass-before is exactly 0)
+            keep_sorted = (csum - sorted_probs) < jnp.maximum(
+                top_p[:, None], 1e-9
+            )  # mass BEFORE it
             # per-row prob cutoff = smallest kept sorted prob
             cutoff = jnp.min(
                 jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True

@@ -93,6 +93,61 @@ def test_prefetcher_releases_producer_on_close():
     assert not thread2.is_alive()
 
 
+def test_prefetcher_terminal_after_end_error_close():
+    """next() after exhaustion, a propagated producer error, or close() must
+    raise StopIteration — the producer thread is gone, so another blocking
+    q.get() would hang the caller forever."""
+    import pytest
+
+    from fpn_mt_image_captioning_tpu.data.dataset import _Prefetcher
+
+    pf = _Prefetcher(iter([1, 2]), depth=2)
+    assert list(pf) == [1, 2]
+    with pytest.raises(StopIteration):
+        next(pf)  # exhausted: must not block
+
+    def boom():
+        yield 1
+        raise RuntimeError("bad image")
+
+    pf = _Prefetcher(boom(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="bad image"):
+        next(pf)
+    with pytest.raises(StopIteration):
+        next(pf)  # after the error: terminal, not a hang
+
+    import itertools
+
+    pf = _Prefetcher(iter(itertools.count()), depth=2)
+    next(pf)
+    pf.close()
+    with pytest.raises(StopIteration):
+        next(pf)  # after close: terminal, not a hang
+
+
+def test_process_shards_are_equal_length():
+    """Every process must run the SAME number of train steps per epoch (a pod
+    deadlocks otherwise: one host enters a collective step the others never
+    reach) — shards truncate to the common floor."""
+    import numpy as np
+
+    from fpn_mt_image_captioning_tpu.data.dataset import CocoCaptionDataset
+
+    n = 65  # odd total: the strided slice alone gives shards of 33 and 32
+    caps = np.zeros((n, 4), np.int32)
+    paths = [f"img{i}.png" for i in range(n)]
+    shards = [
+        CocoCaptionDataset(paths, caps, batch_size=32, image_size=8,
+                           shard_count=2, shard_index=i)
+        for i in range(2)
+    ]
+    assert len(shards[0].img_paths) == len(shards[1].img_paths) == 32
+    assert len(shards[0]) == len(shards[1]) == 1
+    # disjoint coverage preserved
+    assert not set(shards[0].img_paths) & set(shards[1].img_paths)
+
+
 def test_config_derived_properties():
     cfg = Config(image_input_size=512, epochs=100)
     assert cfg.input_vocab_size == 1024   # ceil(512/16)^2 (pipeline.py:20)

@@ -75,6 +75,20 @@ def test_fingerprint_invalidation(corpus, tmp_path):
     assert not DecodedImageCache(cache_path, corpus, IMG).valid()
 
 
+def test_missing_bin_rebuilds_not_crashes(corpus, tmp_path):
+    """Manifest present but .bin gone (e.g. a size-based /tmp cleanup): valid()
+    must report False (→ rebuild) instead of raising FileNotFoundError."""
+    cache_path = str(tmp_path / "dc")
+    cache = DecodedImageCache(cache_path, corpus, IMG)
+    cache.ensure()
+    assert cache.valid()
+    os.remove(cache.bin_path)
+    assert not cache.valid()
+    cache2 = DecodedImageCache(cache_path, corpus, IMG)
+    cache2.ensure()  # rebuilds
+    assert cache2.valid()
+
+
 def test_interrupted_build_is_invalid(corpus, tmp_path):
     cache_path = str(tmp_path / "dc")
     cache = DecodedImageCache(cache_path, corpus, IMG)

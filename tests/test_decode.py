@@ -165,6 +165,9 @@ def test_sample_decode_zero_temperature_is_greedy(small_model):
         {"temperature": 1e-7},            # temperature -> 0: argmax
         {"top_k": 1},                      # top-k=1: argmax survives alone
         {"top_p": 1e-7},                   # nucleus -> 0: first token only
+        # top_p=0 exactly: the unclamped threshold kept NOTHING (0 < 0 is
+        # False), silently degrading to uniform sampling over the whole vocab
+        {"top_p": 0.0},
     ):
         s_seqs, s_lens = sample_decode(
             model, variables, enc, jax.random.PRNGKey(0),

@@ -18,6 +18,8 @@ import json
 import os
 from datetime import datetime
 
+import numpy as np
+
 from fpn_mt_image_captioning_tpu.config import Config
 from fpn_mt_image_captioning_tpu.data.dataset import (
     COCO_Images_ImageID,
@@ -93,11 +95,28 @@ def main(cfg: Config) -> None:
             for epoch in range(start_epoch, cfg.epochs):
                 print(f"Epoch {epoch + 1} / {cfg.epochs}")
                 epoch_losses = []
-                bar = tqdm(train_datasets, total=train_set_len)
+                # len(dataset) is the PER-HOST batch count (process-sharded on
+                # pods); train_set_len is the global pre-shard figure
+                bar = tqdm(train_datasets, total=len(train_datasets))
                 for img, caption_token in bar:
                     if tracer is not None:
                         tracer.step(global_step)
                     global_step += 1
+                    if img.shape[0] < cfg.batch_size:
+                        # tail batch (reference keeps it: dataset.py:91 batches
+                        # without drop_remainder): zero-pad to the ONE compiled
+                        # shape instead of paying a second multi-minute XLA
+                        # compile — all-zero caption rows are invisible to the
+                        # masked loss and its gradients
+                        pad = cfg.batch_size - img.shape[0]
+                        img = np.concatenate(
+                            [img, np.zeros((pad, *img.shape[1:]), img.dtype)]
+                        )
+                        caption_token = np.concatenate([
+                            caption_token,
+                            np.zeros((pad, caption_token.shape[1]),
+                                     caption_token.dtype),
+                        ])
                     loss = master.train_step(img, caption_token)
                     epoch_losses.append(loss)
                     if hasattr(bar, "set_postfix"):
