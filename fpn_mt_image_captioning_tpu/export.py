@@ -126,6 +126,18 @@ def export_with_fallback(fn, *specs):
         return exported, True
 
 
+def _pad_chunk(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
+    """Zero/``fill``-pad ``arr``'s leading axis up to ``rows`` — applied per
+    chunk so only the TAIL chunk ever allocates (padding a huge request batch
+    up front would copy the whole host buffer)."""
+    short = rows - arr.shape[0]
+    if short <= 0:
+        return arr
+    return np.concatenate(
+        [arr, np.full((short, *arr.shape[1:]), fill, arr.dtype)]
+    )
+
+
 def fold_chunk_seed(seed: int, chunk: int) -> int:
     """Per-chunk PRNG seed for host-side chunked sampling. Chunk 0 keeps
     ``seed`` exactly (single-chunk calls stay bit-equal to the live pipeline's
@@ -316,14 +328,10 @@ class ExportedServing:
                 f"got {images.shape}"
             )
         n_real = images.shape[0]
-        pad = (-n_real) % self.batch
-        if pad:
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
-            )
         seqs, lengths = [], []
-        for i in range(0, images.shape[0], self.batch):
-            s, l = self._call(self._variables, jnp.asarray(images[i : i + self.batch]))
+        for i in range(0, n_real, self.batch):
+            chunk = _pad_chunk(images[i : i + self.batch], self.batch)
+            s, l = self._call(self._variables, jnp.asarray(chunk))
             seqs.append(np.asarray(s))
             lengths.append(np.asarray(l))
         return np.concatenate(seqs)[:n_real], np.concatenate(lengths)[:n_real]
@@ -358,23 +366,16 @@ class ExportedServing:
         )
         if top_p is not None:
             top_p = np.broadcast_to(np.asarray(top_p, np.float32), (n_real,))
-        pad = (-n_real) % self.batch
-        if pad:
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
-            )
-            temperature = np.concatenate([temperature, np.ones(pad, np.float32)])
-            if top_p is not None:
-                top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
         call = self._sample_calls["nucleus" if top_p is not None else "plain"]
         seqs, lengths = [], []
-        for chunk, i in enumerate(range(0, images.shape[0], self.batch)):
+        for chunk, i in enumerate(range(0, n_real, self.batch)):
             sl = slice(i, i + self.batch)
-            args = [self._variables, jnp.asarray(images[sl]),
+            args = [self._variables,
+                    jnp.asarray(_pad_chunk(images[sl], self.batch)),
                     jnp.int32(fold_chunk_seed(seed, chunk)),
-                    jnp.asarray(temperature[sl])]
+                    jnp.asarray(_pad_chunk(temperature[sl], self.batch, 1.0))]
             if top_p is not None:
-                args.append(jnp.asarray(top_p[sl]))
+                args.append(jnp.asarray(_pad_chunk(top_p[sl], self.batch, 1.0)))
             s, l = call(*args)
             seqs.append(np.asarray(s))
             lengths.append(np.asarray(l))

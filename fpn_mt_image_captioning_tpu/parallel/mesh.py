@@ -71,6 +71,13 @@ def param_spec(path: str, leaf=None, tp: bool = True, mesh: Mesh | None = None) 
     if tp:
         for pattern, spec in _TP_RULES:
             if re.match(pattern, path):
+                if mesh is not None and "model" not in mesh.axis_names:
+                    # MeshConfig.model_axis is configurable; the rules above
+                    # are written against the canonical name. make_mesh always
+                    # builds (data, model) axis order, so rename positionally.
+                    spec = P(*(
+                        mesh.axis_names[1] if a == "model" else a for a in spec
+                    ))
                 if leaf is not None and mesh is not None:
                     shape = getattr(leaf, "shape", ())
                     for dim, axis in enumerate(spec):
@@ -95,8 +102,11 @@ def param_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
     )
 
 
-def data_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data") -> NamedSharding:
-    """Batch-axis sharding for an ndim-dimensional array (batch leading)."""
+def data_sharding(mesh: Mesh, ndim: int = 4, axis: str | None = None) -> NamedSharding:
+    """Batch-axis sharding for an ndim-dimensional array (batch leading).
+    The data axis defaults to the mesh's FIRST axis (make_mesh's order), so
+    renamed axes (``--mesh.data_axis=dp``) work throughout."""
+    axis = mesh.axis_names[0] if axis is None else axis
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 

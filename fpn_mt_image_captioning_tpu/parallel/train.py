@@ -13,14 +13,11 @@ import functools
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.positional import create_masks
 from ..models.transformer import Transformer
-from ..train.losses import masked_sparse_ce
-from ..train.pipeline import TrainState
+from ..train.pipeline import TrainState, build_train_step_fn
 from .mesh import data_sharding, param_shardings, replicated
 
 __all__ = [
@@ -72,33 +69,14 @@ def make_sharded_train_step(
     img_sharding = data_sharding(mesh, 4)
     cap_sharding = data_sharding(mesh, 2)
 
-    @functools.partial(
-        jax.jit,
+    # the step BODY is the single-chip one (single source of truth for the
+    # objective); only the jit decoration — shardings + donation — differs
+    return jax.jit(
+        build_train_step_fn(model, optimizer, seed),
         in_shardings=(state_shardings, img_sharding, cap_sharding),
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0,),
     )
-    def train_step(state: TrainState, img, caption_token):
-        tar_inp = caption_token[:, :-1]
-        tar_real = caption_token[:, 1:]
-        mask = create_masks(tar_inp)
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-
-        def loss_fn(params):
-            (logits, _), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                img, tar_inp, True, mask,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
-            )
-            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
-
-    return train_step
 
 
 def make_sharded_decode_encode(mesh: Mesh, model: Transformer):

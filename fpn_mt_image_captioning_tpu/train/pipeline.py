@@ -44,7 +44,7 @@ from .checkpoint import CheckpointManager, SmartCheckpointSaver
 from .losses import masked_sparse_ce
 from .schedule import custom_schedule, make_optimizer
 
-__all__ = ["Pipeline", "TrainState"]
+__all__ = ["Pipeline", "TrainState", "build_train_step_fn"]
 
 
 class TrainState(NamedTuple):
@@ -52,6 +52,37 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+
+
+def build_train_step_fn(model, optimizer, seed: int):
+    """The pure ``(state, img, caption_token) → (state, loss)`` training step.
+
+    ONE definition shared by the single-chip jit (Pipeline._build_train_step)
+    and the sharded jit (parallel/train.py:make_sharded_train_step) — the two
+    paths must optimize the identical objective, so the body lives here and
+    only the jit decoration differs."""
+
+    def train_step(state: TrainState, img, caption_token):
+        tar_inp = caption_token[:, :-1]
+        tar_real = caption_token[:, 1:]
+        mask = create_masks(tar_inp)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+        def loss_fn(params):
+            (logits, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, tar_inp, True, mask,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+    return train_step
 
 
 class Pipeline:
@@ -160,7 +191,12 @@ class Pipeline:
     # ------------------------------------------------------------------
     @property
     def _data_axis_size(self) -> int:
-        return self.mesh.shape[self.config.mesh.data_axis] if self.mesh is not None else 1
+        # the mesh itself is the source of truth (axis 0 = data in make_mesh's
+        # order), so renamed axes and externally-built meshes both work
+        return (
+            self.mesh.shape[self.mesh.axis_names[0]]
+            if self.mesh is not None else 1
+        )
 
     def _pad_batch(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
         """Zero-pad the batch axis to a multiple of the mesh data-axis size."""
@@ -179,28 +215,9 @@ class Pipeline:
                 self.mesh, model, optimizer, self._state_shardings, seed=seed
             )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, img, caption_token):
-            tar_inp = caption_token[:, :-1]
-            tar_real = caption_token[:, 1:]
-            mask = create_masks(tar_inp)
-            dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-
-            def loss_fn(params):
-                (logits, _), mut = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    img, tar_inp, True, mask,
-                    rngs={"dropout": dropout_rng},
-                    mutable=["batch_stats"],
-                )
-                return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
-
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
-
-        return train_step
+        return jax.jit(
+            build_train_step_fn(model, optimizer, seed), donate_argnums=(0,)
+        )
 
     def train_step(self, img, caption_token) -> float:
         """One optimizer step; returns the (host) loss value.
@@ -243,6 +260,10 @@ class Pipeline:
         if self.mesh is not None:
             from ..parallel.train import make_sharded_decode_encode
 
+            if self.config.fused_backbone:
+                print("fused_backbone=True is ignored under a mesh: the "
+                      "manual-DMA Pallas backbone is not shard-aware (and is "
+                      "measured slower than XLA anyway) — using XLA encode")
             return make_sharded_decode_encode(self.mesh, model)
 
         @jax.jit
@@ -338,15 +359,20 @@ class Pipeline:
         # same VMEM failure chunking exists to prevent)
         if limit and -(-n_real // ndev) * beam_n > limit:
             chunk_b = max(1, limit // beam_n) * ndev
-            tail = (-n_real) % chunk_b
-            if tail:
-                images = np.concatenate(
-                    [images, np.zeros((tail, *images.shape[1:]), images.dtype)]
-                )
-            parts = [
-                self._predict_chunk(images[i : i + chunk_b], beam_n)
-                for i in range(0, images.shape[0], chunk_b)
-            ]
+            parts = []
+            for i in range(0, n_real, chunk_b):
+                chunk = images[i : i + chunk_b]
+                if chunk.shape[0] < chunk_b:
+                    # pad ONLY the tail chunk — concatenating the whole batch
+                    # with its padding would copy the full host buffer (tens
+                    # of GB for large offline eval batches) just to append
+                    # zeros
+                    chunk = np.concatenate([
+                        chunk,
+                        np.zeros((chunk_b - chunk.shape[0], *chunk.shape[1:]),
+                                 chunk.dtype),
+                    ])
+                parts.append(self._predict_chunk(chunk, beam_n))
             seqs = np.concatenate([p[0] for p in parts])[:n_real]
             lengths = np.concatenate([p[1] for p in parts])[:n_real]
             return seqs, lengths
@@ -404,6 +430,13 @@ class Pipeline:
         (sequences (B, L) int32 np, lengths (B,) np)."""
         from ..decode.beam_search import sample_decode
 
+        if jax.process_count() > 1:
+            # same deliberate refusal as predict_batch: multi-host decode's
+            # gather/re-order is easy to get silently wrong — fail loudly
+            raise NotImplementedError(
+                "sample_batch under a multi-process runtime: run serving on a "
+                "single host (see predict_batch / parallel/multihost.py)"
+            )
         images = np.asarray(images)
         n_real = images.shape[0]
         temperature = np.broadcast_to(
@@ -443,7 +476,8 @@ class Pipeline:
         (``decoder_layer{n}_block{1,2}`` — reference ``transformer.py:337``) by
         teacher-forcing the decoded sequence back through the full decoder.
         Returns (token sequence, attention_weights)."""
-        seq = self.predict(img)
+        seqs, lengths = self.predict_batch(np.asarray(img)[None], beam_n=beam_n)
+        seq = seqs[0][: lengths[0]]
         tokens = np.concatenate([[self.start_token], np.asarray(seq)])
         tokens = tokens[: self.max_seq_len]  # PE table covers max_seq_len positions
         tar = jnp.asarray(tokens, jnp.int32)[None, :]

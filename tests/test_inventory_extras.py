@@ -69,6 +69,12 @@ def test_predict_with_attention_and_plot(tmp_path, rng):
                         max_seq_len, config=cfg)
     img = np.zeros((256, 256, 3), np.float32)
     seq, attention = pipeline.predict_with_attention(img)
+
+    # beam_n must be honored (it used to be silently ignored): beam_n=1 is
+    # the greedy decode, bit-equal to predict_batch(beam_n=1)
+    g_seqs, g_lens = pipeline.predict_batch(img[None], beam_n=1)
+    seq1, _ = pipeline.predict_with_attention(img, beam_n=1)
+    np.testing.assert_array_equal(np.asarray(seq1), g_seqs[0][: g_lens[0]])
     assert "decoder_layer1_block1" in attention
     assert "decoder_layer1_block2" in attention
     w = attention["decoder_layer1_block2"]

@@ -33,6 +33,50 @@ def test_tp_partition_rules():
     assert param_spec("anything", tp=False) == P()
 
 
+def test_custom_axis_names_thread_through(rng):
+    """--mesh.data_axis / --mesh.model_axis are configurable: renamed axes
+    must flow through param_spec's TP rules (written against the canonical
+    'model' name), data_sharding, and a compiled sharded train step — they
+    used to raise 'Mesh does not contain axis data/model'."""
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.models.transformer import Transformer
+    from fpn_mt_image_captioning_tpu.parallel.mesh import data_sharding, param_spec
+    from fpn_mt_image_captioning_tpu.parallel.train import (
+        make_sharded_train_step,
+        shard_state,
+    )
+    from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
+    from fpn_mt_image_captioning_tpu.train.schedule import custom_schedule, make_optimizer
+
+    mesh = make_mesh(MeshConfig(data_axis_size=4, model_axis_size=2,
+                                data_axis="dp", model_axis="tp"))
+    assert mesh.axis_names == ("dp", "tp")
+    assert data_sharding(mesh, 2).spec == P("dp", None)
+    spec = param_spec("decoder/layer_0/mha1/wq/kernel", mesh=mesh)
+    assert spec == P(None, "tp")
+
+    model = Transformer(
+        num_layers=1, d_model=32, num_heads=4, dff=64,
+        input_vocab_size=256, target_vocab_size=50, max_seq_len=8, rate=0.0,
+    )
+    batch, seq = 4, 8
+    img = jax.random.normal(rng, (batch, 256, 256, 3)) * 0.1
+    caps = jax.random.randint(rng, (batch, seq), 1, 50)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, img, caps[:, :-1], True,
+        create_masks(caps[:, :-1]),
+    )
+    optimizer = make_optimizer(custom_schedule(64, 10))
+    state0 = TrainState(
+        variables["params"], variables.get("batch_stats", {}),
+        optimizer.init(variables["params"]), jnp.int32(0),
+    )
+    s, sh = shard_state(mesh, state0, tp=True)
+    step = make_sharded_train_step(mesh, model, optimizer, sh)
+    _, loss = step(s, img, caps)
+    assert np.isfinite(float(loss))
+
+
 @pytest.mark.slow
 def test_sharded_train_step_matches_single_device(rng):
     """One DP×TP-sharded step must produce the same loss and parameters as the
