@@ -91,9 +91,25 @@ class MetricEval:
         annFile = f"{dataDir}/annotations/captions_{dataType}.json"
         self.coco = COCO(annFile)
         self.eval: dict[str, float] = {}
+        self._res_cache: tuple | None = None  # (path, mtime_ns, size, cocoRes)
+
+    def _load_res(self, resFile):
+        """loadRes with a one-entry cache keyed on (path, mtime, size):
+        show_results.py's per-image browse loop would otherwise re-parse the
+        whole result JSON once PER IMAGE; the stat key keeps a re-written
+        result file (train.py overwrites it every eval) from being served
+        stale."""
+        import os
+
+        path = os.path.abspath(str(resFile))
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        if self._res_cache is None or self._res_cache[:3] != key:
+            self._res_cache = (*key, self.coco.loadRes(resFile))
+        return self._res_cache[3]
 
     def __call__(self, resFile) -> float:
-        cocoRes = self.coco.loadRes(resFile)
+        cocoRes = self._load_res(resFile)
         cocoEval = COCOEvalCap(self.coco, cocoRes)
         cocoEval.params["image_id"] = cocoRes.getImgIds()
         cocoEval.evaluate()
@@ -105,7 +121,7 @@ class MetricEval:
         ``dataset.py:300-324`` renders it with plt.imshow/plt.show). With a
         non-interactive matplotlib backend (Agg) the figure is saved next to
         the result file instead of shown; without matplotlib it is skipped."""
-        cocoRes = self.coco.loadRes(resFile)
+        cocoRes = self._load_res(resFile)
         print("ground truth captions")
         self.coco.showAnns(self.coco.loadAnns(self.coco.getAnnIds(imgIds=imgId)))
         print("\ngenerated caption")

@@ -9,8 +9,14 @@ two match modules — exact and Porter-stem — and the standard parameters
     penalty = gamma · (chunks / matches)^beta
     score   = F_mean · (1 - penalty)
 
-Multiple references: the per-reference maximum is taken; the corpus score is the
-mean over images.
+Multiple references: the best-scoring reference is selected per image. The
+corpus score is computed from the SUMMED sufficient statistics (matches,
+hypothesis/reference lengths, chunks) of those selections — METEOR's
+system-level scoring, which is what the pycocoevalcap jar reports. Because
+F-mean and the fragmentation penalty are nonlinear, a mean of per-segment
+scores is NOT comparable to published METEOR numbers (the two differ
+materially whenever segment quality varies); ``meteor_segments_mean`` keeps
+the per-segment mean for diagnostics and the nltk cross-checks.
 
 Validation (tests/test_metrics_crosscheck.py, vs nltk's INDEPENDENT
 implementation of the same algorithm with an empty WordNet):
@@ -33,7 +39,7 @@ from __future__ import annotations
 
 from ...utils.porter import porter_stem
 
-__all__ = ["meteor"]
+__all__ = ["meteor", "meteor_segments_mean"]
 
 _ALPHA, _BETA, _GAMMA = 0.9, 3.0, 0.5
 
@@ -72,23 +78,57 @@ def _chunks(matches: list[tuple[int, int]]) -> int:
     return chunks
 
 
-def _score_pair(hyp: list[str], ref: list[str]) -> float:
+def _stats_pair(hyp: list[str], ref: list[str]) -> tuple[int, int, int, int]:
+    """Sufficient statistics (matches, |hyp|, |ref|, chunks) for one pair."""
     matches = _align(hyp, ref)
-    m = len(matches)
-    if m == 0 or not hyp or not ref:
+    return len(matches), len(hyp), len(ref), _chunks(matches)
+
+
+def _score_from_stats(m: int, len_h: int, len_r: int, chunks: int) -> float:
+    if m == 0 or not len_h or not len_r:
         return 0.0
-    p = m / len(hyp)
-    r = m / len(ref)
+    p = m / len_h
+    r = m / len_r
     f_mean = p * r / (_ALPHA * p + (1 - _ALPHA) * r)
-    frag = _chunks(matches) / m
-    penalty = _GAMMA * (frag**_BETA)
+    penalty = _GAMMA * ((chunks / m) ** _BETA)
     return f_mean * (1.0 - penalty)
+
+
+def _score_pair(hyp: list[str], ref: list[str]) -> float:
+    return _score_from_stats(*_stats_pair(hyp, ref))
 
 
 def meteor(
     hypotheses: dict[int, list[list[str]]],
     references: dict[int, list[list[str]]],
 ) -> float:
+    """System-level METEOR: per image, the best reference is selected by its
+    SEGMENT score (jar behavior), but the corpus score applies the formula to
+    the statistics summed over those selections — not to the score mean."""
+    tot_m = tot_h = tot_r = tot_c = 0
+    for img_id, hyps in hypotheses.items():
+        hyp = hyps[0]
+        best = max(
+            (ref for ref in references[img_id]),
+            key=lambda ref: _score_pair(hyp, ref),
+            default=None,
+        )
+        if best is None:
+            continue
+        m, len_h, len_r, chunks = _stats_pair(hyp, best)
+        tot_m += m
+        tot_h += len_h
+        tot_r += len_r
+        tot_c += chunks
+    return _score_from_stats(tot_m, tot_h, tot_r, tot_c)
+
+
+def meteor_segments_mean(
+    hypotheses: dict[int, list[list[str]]],
+    references: dict[int, list[list[str]]],
+) -> float:
+    """Mean of per-image best-reference segment scores — a diagnostic, kept
+    for the nltk cross-checks; NOT the number the METEOR jar reports."""
     total = 0.0
     for img_id, hyps in hypotheses.items():
         hyp = hyps[0]

@@ -31,8 +31,11 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, C3: jax.Array, C4: jax.Array, C5: jax.Array):
+        # Keras Conv2D default init (reference retinanet.py:118-138 passes
+        # none): glorot_uniform, NOT Flax's lecun_normal
         conv = lambda k, name: nn.Conv(
-            self.feature_size, (k, k), padding="SAME", dtype=self.dtype, name=name
+            self.feature_size, (k, k), padding="SAME", dtype=self.dtype,
+            name=name, kernel_init=nn.initializers.glorot_uniform(),
         )
 
         P5_reduced = conv(1, "C5_reduced")(C5)

@@ -408,7 +408,13 @@ class Transformer(nn.Module):
             self.target_vocab_size, self.rate, self.max_position,
             self.max_seq_len, self.activation, self.dtype, name="decoder",
         )
-        self.final_layer = nn.Dense(self.target_vocab_size, dtype=self.dtype, name="final_layer")
+        # Keras Dense default init (reference transformer.py:357 passes none):
+        # glorot_uniform, NOT Flax's lecun_normal — at vocab 10000 the
+        # variance differs ~10x, a ~3x initial-logit-scale change
+        self.final_layer = nn.Dense(
+            self.target_vocab_size, dtype=self.dtype, name="final_layer",
+            kernel_init=nn.initializers.glorot_uniform(),
+        )
 
     def __call__(
         self,

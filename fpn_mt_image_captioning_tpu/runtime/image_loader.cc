@@ -80,6 +80,9 @@ bool decode_png(const uint8_t* data, size_t len, Image* img) {
     const uint8_t* cdata = data + off + 8;
     if (off + 12 + clen > len) return false;
     if (memcmp(ctype, "IHDR", 4) == 0) {
+      // the reads below touch 13 bytes of chunk payload; the bounds check
+      // above only guarantees clen of them
+      if (clen < 13) return false;
       w = static_cast<int>(read_be32(cdata));
       h = static_cast<int>(read_be32(cdata + 4));
       bit_depth = cdata[8];
@@ -190,6 +193,9 @@ bool decode_pnm(const uint8_t* data, size_t len, Image* img) {
   if (vi != 3 || vals[2] != 255) return false;
   ++off;  // single whitespace after maxval
   int w = vals[0], h = vals[1];
+  // zero-dimension headers pass the size check below (0 bytes needed) but
+  // would send resize_normalize's clamp to index -1 on an empty pixel vector
+  if (w <= 0 || h <= 0) return false;
   if (off + static_cast<size_t>(w) * h * ch > len) return false;
   img->w = w;
   img->h = h;

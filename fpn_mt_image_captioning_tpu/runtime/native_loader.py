@@ -39,7 +39,12 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:  # a shipped .so without the .cc source is fine (no rebuild check)
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _build():
                 _failed = True
                 return None

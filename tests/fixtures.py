@@ -122,3 +122,4 @@ def make_iuxray_raw(root: str, n_reports: int = 4, imgs_per_report: int = 2,
         with open(os.path.join(xml_dir, f"{r}.xml"), "w") as f:
             f.write(xml)
     return xml_dir, root
+

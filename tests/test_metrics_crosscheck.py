@@ -227,17 +227,45 @@ def test_meteor_corpus_delta_vs_nltk_bounded():
     pathological 10-word-vocabulary stress set)."""
     from nltk.translate.meteor_score import meteor_score
 
-    from fpn_mt_image_captioning_tpu.data.metrics.meteor import meteor
+    from fpn_mt_image_captioning_tpu.data.metrics.meteor import (
+        meteor_segments_mean,
+    )
 
     wn = _EmptyWordnet()
     hyps, refs = make_corpus(n_images=50, seed=3)
-    ours = meteor(hyps, refs)
+    # nltk only scores segments, so the alignment cross-check runs on the
+    # per-segment mean; the jar-comparable corpus aggregate is pinned by
+    # test_meteor_corpus_is_aggregate_not_mean below
+    ours = meteor_segments_mean(hyps, refs)
     theirs = sum(
         max(meteor_score([r], hyps[i][0], wordnet=wn) for r in refs[i])
         for i in hyps
     ) / len(hyps)
     assert abs(ours - theirs) < 0.005
     assert 0.0 < ours <= 1.0
+
+
+def test_meteor_corpus_is_aggregate_not_mean():
+    """The METEOR jar computes the system score from SUMMED statistics
+    (matches, lengths, chunks), not from the mean of segment scores — the
+    two differ whenever segment quality varies because F-mean and the
+    penalty are nonlinear. Pin the aggregate semantics on a hand-checkable
+    corpus: one perfect caption + one with zero matches."""
+    from fpn_mt_image_captioning_tpu.data.metrics.meteor import (
+        meteor,
+        meteor_segments_mean,
+    )
+
+    hyps = {1: [["a", "b", "c", "d"]], 2: [["x", "y"]]}
+    refs = {1: [["a", "b", "c", "d"]], 2: [["p"] * 8]}
+    # aggregate stats: m=4, |h|=4+2=6, |r|=4+8=12, chunks=1
+    p, r = 4 / 6, 4 / 12
+    f_mean = p * r / (0.9 * p + 0.1 * r)
+    expected = f_mean * (1 - 0.5 * (1 / 4) ** 3)
+    assert abs(meteor(hyps, refs) - expected) < 1e-12
+    # the segment mean is a materially different number (0.5*score1 here)
+    mean = meteor_segments_mean(hyps, refs)
+    assert abs(mean - meteor(hyps, refs)) > 0.1
 
 
 def test_meteor_stress_delta_vs_nltk_bounded():

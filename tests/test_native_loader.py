@@ -88,3 +88,36 @@ def test_dataset_batch_path_uses_native(tmp_path, np_rng):
     assert out.shape == (2, 48, 48, 3)
     expected = arr.astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(out[0], expected, atol=1e-6)
+
+
+def test_corrupt_headers_flagged_not_crash(tmp_path):
+    """Crafted/corrupt files must FLAG (ok=False, zero fill), never crash the
+    host: a zero-dimension PNM header used to drive the resize clamp to index
+    -1 on an empty pixel vector (segfault); a PNG whose IHDR chunk declares a
+    too-short length used to read past the file buffer."""
+    zero_pnm = str(tmp_path / "zero.pnm")
+    with open(zero_pnm, "wb") as f:
+        f.write(b"P6\n0 0\n255\n")
+    short_ihdr = str(tmp_path / "short.png")
+    with open(short_ihdr, "wb") as f:
+        # PNG signature + IHDR chunk claiming clen=0 (13 bytes required)
+        f.write(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x00IHDR" + b"\x00" * 4)
+    out, ok = native_loader.decode_batch([zero_pnm, short_ihdr], 32)
+    assert ok.tolist() == [False, False]
+    assert np.abs(out).max() == 0.0
+
+
+def test_available_survives_missing_source(monkeypatch, tmp_path):
+    """A shipped .so without the .cc source must not raise from the staleness
+    check — available() degrades to the build/fallback path instead."""
+    import shutil
+
+    if not os.path.exists(native_loader._SO):
+        pytest.skip("no built .so to exercise the shipped-so path")
+    so_copy = str(tmp_path / "_image_loader.so")
+    shutil.copy(native_loader._SO, so_copy)
+    monkeypatch.setattr(native_loader, "_SO", so_copy)
+    monkeypatch.setattr(native_loader, "_SRC", str(tmp_path / "gone.cc"))
+    monkeypatch.setattr(native_loader, "_lib", None)
+    monkeypatch.setattr(native_loader, "_failed", False)
+    assert native_loader._load() is not None  # uses the .so, no rebuild, no raise

@@ -169,7 +169,10 @@ def test_sharded_fused_beam_matches_unsharded(mesh_shape):
         sharded = make_sharded_beam_search(
             mesh, model,
             beam_n=BEAM, max_len=MAX_LEN, start_token=START, end_token=END,
-            fused=True,
+            # f32 pack: the exact-equality gate needs the engines at the same
+            # precision (bf16 weight packing legitimately flips argsort
+            # near-ties on random weights — see test_fused_beam.py)
+            fused=True, pack_dtype=jnp.float32,
         )
         s_seqs, s_len, _ = sharded(variables, enc)
 
