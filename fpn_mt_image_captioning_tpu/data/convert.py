@@ -92,7 +92,10 @@ def convert_store_to_coco_val_train(
 ) -> None:
     """Shuffle the report list, carve off a validation slice, convert both splits."""
     cfg = config or Config()
-    reports = os.listdir(report_dir)
+    # sort first: os.listdir order is filesystem-dependent, so an unsorted
+    # shuffle would make the seeded val/train split non-reproducible across
+    # machines/copies of the report directory
+    reports = sorted(os.listdir(report_dir))
     random.Random(seed).shuffle(reports)
 
     log.info("Begin conversion to COCO format...")

@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.backbones.mobilenet_v2 import _BLOCK_CONFIG, make_divisible
+from ..models.backbones.mobilenet_v2 import _BLOCK_CONFIG
 
 __all__ = [
     "pack_backbone_weights",
@@ -74,9 +74,7 @@ def _fold(conv_bn_params: Any, conv_bn_stats: Any, eps: float = 1e-3):
     return k * s, b - mu * s
 
 
-def pack_backbone_weights(
-    params: Any, batch_stats: Any, alpha: float = 1.0, dtype=jnp.bfloat16
-) -> dict:
+def pack_backbone_weights(params: Any, batch_stats: Any, dtype=jnp.bfloat16) -> dict:
     """Walk the Flax MobileNetV2 tree -> folded stem/head convs + per-block
     packed kernels. Matmul weights are 2D ``(Cin, Cout)``; depthwise weights
     are ``(16, C)`` float32 (9 taps row-major ``dy*3+dx``, rows 9..15 zero).
@@ -304,6 +302,15 @@ def fused_ir_block(
     dtype = x.dtype
     cexp = blk["w_dw"].shape[1]
     cout = blk["w_proj"].shape[1]
+    if stride == 2 and (h_in % 2 or w_in % 2):
+        # the h_in // 2 below and _downselect_cols assume even extents; odd
+        # ones need TF SAME's asymmetric ceil-halving, which this layout does
+        # not implement — fail loudly instead of silently diverging from the
+        # XLA backbone (512/256-class sizes stay even at every stride-2 block)
+        raise ValueError(
+            f"fused backbone requires even extents at stride-2 blocks, got "
+            f"{h_in}x{w_in}; use an image_input_size divisible by 32"
+        )
     h_out = h_in if stride == 1 else h_in // 2
     th = _pick_th(h_out, wp, cin, cexp, cout, stride)
     n_tiles = h_out // th

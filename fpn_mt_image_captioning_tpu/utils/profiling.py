@@ -109,11 +109,8 @@ def build_train_run(
     dims)."""
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from ..models.positional import create_masks
-    from ..train.losses import masked_sparse_ce
-    from ..train.pipeline import TrainState
+    from ..train.pipeline import TrainState, build_train_step_fn
     from ..train.schedule import custom_schedule, make_optimizer
 
     optimizer = make_optimizer(custom_schedule(schedule_dim, 4000))
@@ -131,30 +128,16 @@ def build_train_run(
         jnp.int32,
     )
 
+    # the step body is THE production step (train/pipeline.py) — the
+    # throughput benchmark must time the real training computation, so any
+    # change to the objective flows here automatically
+    step_fn = build_train_step_fn(model, optimizer, seed)
+
     @jax.jit
     def run(state, img, caps, n):
-        tar_inp, tar_real = caps[:, :-1], caps[:, 1:]
-        mask = create_masks(tar_inp)
-
-        def loss_fn(params, batch_stats, dropout_rng):
-            (logits, _), mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                img, tar_inp, True, mask,
-                rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
-            )
-            return masked_sparse_ce(tar_real, logits), mut["batch_stats"]
-
         def body(_, carry):
             st, acc = carry
-            key = jax.random.fold_in(jax.random.PRNGKey(0), st.step)
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, st.batch_stats, key
-            )
-            updates, new_opt = optimizer.update(grads, st.opt_state, st.params)
-            st = TrainState(
-                optax.apply_updates(st.params, updates), new_bs, new_opt,
-                st.step + 1,
-            )
+            st, loss = step_fn(st, img, caps)
             return st, acc + loss
 
         st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
@@ -232,9 +215,14 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, result: Any = None) -> float:
+        if self._t0 is None:
+            # silently recording ~0 ms would drag the window's percentiles
+            # down with garbage samples — an unpaired stop is a caller bug
+            raise RuntimeError("StepTimer.stop() without a matching start()")
         if result is not None:
             sync(result)
-        dt = time.perf_counter() - (self._t0 or time.perf_counter())
+        dt = time.perf_counter() - self._t0
+        self._t0 = None
         self.times.append(dt)
         if len(self.times) > self.window:
             self.times.pop(0)

@@ -55,6 +55,10 @@ def _masked_crc(data: bytes) -> int:
 
 # ---- protobuf wire helpers -------------------------------------------------
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf two's-complement: negative int64s are 10-byte varints of
+        # 2^64 + n — Python's arithmetic right shift would loop forever
+        n += 1 << 64
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -67,22 +67,27 @@ def load_keras_h5(path: str) -> dict[str, dict[str, np.ndarray]]:
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
 
-        def visit(group, prefix=""):
+        def visit(group):
             names = group.attrs.get("layer_names")
             if names is None:
                 return
             for raw in names:
                 lname = raw.decode() if isinstance(raw, bytes) else str(raw)
                 g = group[lname]
-                weight_names = g.attrs.get("weight_names", [])
-                weights = {}
-                for wn in weight_names:
+                for wn in g.attrs.get("weight_names", []):
                     wn = wn.decode() if isinstance(wn, bytes) else str(wn)
-                    weights[wn.split("/")[-1]] = np.asarray(g[wn])
-                if weights:
-                    out[lname] = weights
-                # nested models (e.g. retinanet wrapping the backbone)
-                visit(g, prefix + lname + "/")
+                    parts = wn.split("/")
+                    # '<[nested model/]layer>/<weight>:0' — key by the LAYER
+                    # path component, not the group or the basename: a nested
+                    # sub-model (e.g. retinanet wrapping the backbone) lists
+                    # EVERY inner layer's weights under one top-level group,
+                    # so basename keying collapsed them all onto one
+                    # 'kernel:0' entry and the inner layer names never
+                    # appeared as keys
+                    layer = parts[-2] if len(parts) >= 2 else lname
+                    out.setdefault(layer, {})[parts[-1]] = np.asarray(g[wn])
+                # some writers put layer_names on nested groups too
+                visit(g)
 
         visit(root)
     return out
@@ -136,6 +141,10 @@ def _import_convbn(params, stats, layers, keras_conv, keras_bn, our, report):
             if "depthwise_kernel:0" in w:
                 kernel = np.transpose(kernel, (0, 1, 3, 2))  # (H,W,C,1)→(H,W,1,C)
             _set(params, our + ["conv", "kernel"], kernel, report, keras_conv)
+        else:  # layer group exists but carries no conv kernel: surface it —
+            report.missed.append(  # the report is the tool's only visibility
+                f"{keras_conv} (group has no kernel:0/depthwise_kernel:0)"
+            )
         if "bias:0" in w:
             _set(params, our + ["conv", "bias"], w["bias:0"], report, keras_conv + "/bias")
     else:
@@ -201,7 +210,12 @@ def import_retinanet_weights(
         if n.startswith("conv2d") and "kernel:0" in w
         and w["kernel:0"].shape == (3, 3, 256, 256)
     ]
-    for (n, w), target in zip(unnamed, ("P6_conv", "P7_conv")):
+    for idx, target in enumerate(("P6_conv", "P7_conv")):
+        if idx >= len(unnamed):
+            # zip() would truncate silently and the report would show no gap
+            report.missed.append(f"(no unnamed 3x3 256x256 conv #{idx})->{target}")
+            continue
+        n, w = unnamed[idx]
         _set(fpn, [target, "kernel"], w["kernel:0"], report, f"{n}->{target}")
         if "bias:0" in w:
             _set(fpn, [target, "bias"], w["bias:0"], report, f"{n}->{target}/bias")

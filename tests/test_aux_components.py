@@ -63,6 +63,24 @@ def test_step_timer():
     s = t.summary()
     assert s["steps"] == 4
     assert s["p50_ms"] >= 0
+    # an unpaired stop is a caller bug: recording ~0 ms would silently drag
+    # the window's percentiles down
+    import pytest
+
+    with pytest.raises(RuntimeError, match="without a matching start"):
+        t.stop()
+
+
+def test_varint_negative_terminates():
+    """Protobuf varints encode negative int64s as 10-byte two's-complement —
+    Python's arithmetic right shift never reaches 0, so the encoder used to
+    loop forever on e.g. step=-1."""
+    from fpn_mt_image_captioning_tpu.utils.tensorboard import _varint
+
+    b = _varint(-1)
+    assert len(b) == 10 and b[-1] == 0x01  # canonical -1 varint
+    assert _varint(0) == b"\x00"
+    assert _varint(300) == b"\xac\x02"
 
 
 def test_step_tracer_captures_window(tmp_path):

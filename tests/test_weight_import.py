@@ -168,3 +168,47 @@ def test_import_shape_mismatch_is_reported_not_fatal(variables, tmp_path, np_rng
         np.asarray(new_vars["params"]["encoder"]["feature_extractor"]["backbone"]["stem"]["conv"]["kernel"]),
         np.asarray(variables["params"]["encoder"]["feature_extractor"]["backbone"]["stem"]["conv"]["kernel"]),
     )
+
+
+def test_nested_submodel_h5_import(variables, tmp_path, np_rng):
+    """Keras h5s that wrap the backbone as a SUB-MODEL store every inner
+    layer's weights under one top-level group, with weight_names carrying the
+    full 'inner_layer/weight:0' paths. Keying by basename used to collapse
+    them all onto one 'kernel:0' entry (whole backbone silently left at random
+    init); weights must be keyed by the LAYER path component."""
+    r = lambda *s: np_rng.standard_normal(s).astype(np.float32)
+    inner = {
+        "Conv1/kernel:0": r(3, 3, 3, 32),
+        "bn_Conv1/gamma:0": r(32),
+        "bn_Conv1/beta:0": r(32),
+        "bn_Conv1/moving_mean:0": r(32),
+        "bn_Conv1/moving_variance:0": np.abs(r(32)),
+        "expanded_conv_depthwise/depthwise_kernel:0": r(3, 3, 32, 1),
+        "expanded_conv_project/kernel:0": r(1, 1, 32, 16),
+    }
+    path = str(tmp_path / "nested.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([b"mobilenetv2_1.00_224"])
+        g = f.create_group("mobilenetv2_1.00_224")
+        g.attrs["weight_names"] = np.array([k.encode() for k in inner])
+        for k, v in inner.items():
+            g.create_dataset(k, data=v)
+
+    new_vars, report = import_retinanet_weights(variables, path)
+    bb = new_vars["params"]["encoder"]["feature_extractor"]["backbone"]
+    bs = new_vars["batch_stats"]["encoder"]["feature_extractor"]["backbone"]
+    np.testing.assert_array_equal(
+        bb["stem"]["conv"]["kernel"], inner["Conv1/kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        bs["stem"]["bn"]["mean"], inner["bn_Conv1/moving_mean:0"]
+    )
+    np.testing.assert_array_equal(
+        bb["block_0_0"]["depthwise"]["conv"]["kernel"],
+        np.transpose(inner["expanded_conv_depthwise/depthwise_kernel:0"],
+                     (0, 1, 3, 2)),
+    )
+    assert any("Conv1" in m for m in report.matched)
+    # truncated unnamed-conv matching must SURFACE the gap, not zip past it
+    assert any("P6_conv" in m for m in report.missed)
+    assert any("P7_conv" in m for m in report.missed)
