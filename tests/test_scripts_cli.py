@@ -232,6 +232,40 @@ def test_bench_flag_value_errors():
         sys.argv = old
 
 
+def test_bench_cache_backup_roundtrip(tmp_path):
+    """Cache insurance vs /tmp wipes AND machine swaps (which drop untracked
+    files, r3 continuation #4): sync_backup mirrors the live cache into the
+    in-repo backup; restore_cache brings it back when the live dir is gone."""
+    import bench
+
+    live = tmp_path / "live_cache"
+    backup = tmp_path / "backup" / "live_cache"
+    live.mkdir()
+    (live / "prog-aaaa-cache").write_bytes(b"x" * 64)
+
+    # no backup yet -> created
+    assert bench.sync_backup(str(live), str(backup))
+    assert (backup / "prog-aaaa-cache").read_bytes() == b"x" * 64
+    # backup already >= live -> skipped (cheap idempotence)
+    assert not bench.sync_backup(str(live), str(backup))
+    # live grows -> backup refreshed, including the new entry
+    (live / "prog-bbbb-cache").write_bytes(b"y" * 128)
+    assert bench.sync_backup(str(live), str(backup))
+    assert (backup / "prog-bbbb-cache").exists()
+
+    # restore only fires when the live cache is GONE
+    assert not bench.restore_cache(str(live), str(backup))
+    import shutil
+
+    shutil.rmtree(live)
+    assert bench.restore_cache(str(live), str(backup))
+    assert (live / "prog-bbbb-cache").read_bytes() == b"y" * 128
+    # missing backup -> no-op, no crash
+    shutil.rmtree(backup)
+    shutil.rmtree(live)
+    assert not bench.restore_cache(str(live), str(backup))
+
+
 def test_tensorboard_event_file_roundtrip(tmp_path):
     """Validate the hand-rolled TFRecord/Event encoding by re-parsing it."""
     import struct
