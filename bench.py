@@ -180,11 +180,14 @@ def _flag_value(name, default):
     return default
 
 
-def _tree_bytes(root: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, files in os.walk(root) for f in files
-    )
+def _tree_entries(root: str) -> dict:
+    """Relative path -> size for every file under root."""
+    out = {}
+    for r, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
 
 
 def restore_cache(cache_dir: str, backup: str) -> bool:
@@ -195,11 +198,17 @@ def restore_cache(cache_dir: str, backup: str) -> bool:
         return False
     import shutil
 
+    # Stage into a sibling tmp dir then rename atomically: a partial copy
+    # must never leave a half-populated cache_dir that blocks future restores.
+    tmp = cache_dir + ".restore.tmp"
     try:
-        shutil.copytree(backup, cache_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(backup, tmp)
+        os.replace(tmp, cache_dir)
         print(f"restored compile cache from {backup}", file=sys.stderr)
         return True
     except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
         return False
 
 
@@ -208,19 +217,30 @@ def sync_backup(cache_dir: str, backup: str) -> bool:
     compile cache into the gitignored in-repo backup so the next /tmp wipe
     restores warm. Machine swaps drop untracked files (r3 continuation #4),
     so this re-creates the backup on the first warm run of each machine.
-    Skipped when the backup is already at least as large as the live cache."""
+    Skipped when the backup already contains every live entry (name+size)."""
     try:
         if not os.path.isdir(cache_dir):
             return False
-        if os.path.isdir(backup) and _tree_bytes(backup) >= _tree_bytes(cache_dir):
-            return False
+        live = _tree_entries(cache_dir)
+        if os.path.isdir(backup):
+            backed = _tree_entries(backup)
+            # Refresh whenever any live entry is missing or changed size —
+            # total-byte comparison misses replaced-same-size entries.
+            if all(backed.get(k) == v for k, v in live.items()):
+                return False
         import shutil
 
         tmp = backup + ".tmp"
+        old = backup + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.copytree(cache_dir, tmp)
-        shutil.rmtree(backup, ignore_errors=True)
+        # Keep a valid backup on disk at all times: move the old one aside,
+        # promote tmp, then drop the old copy.
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(backup):
+            os.replace(backup, old)
         os.replace(tmp, backup)
+        shutil.rmtree(old, ignore_errors=True)
         print(f"backed up compile cache to {backup}", file=sys.stderr)
         return True
     except Exception:  # insurance, never a dependency
@@ -237,7 +257,8 @@ def main():
     # invocation on this machine.
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     backup = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".cache_backup", os.path.basename(cache_dir))
+                          ".cache_backup",
+                          os.path.basename(os.path.normpath(cache_dir)))
     restore_cache(cache_dir, backup)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
