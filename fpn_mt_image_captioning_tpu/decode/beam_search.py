@@ -17,15 +17,23 @@ Two scoring modes:
 * **parity** — reproduces the reference's quirks exactly (SURVEY.md §2 C23): all
   beams initialize with equal scores from identical states, so the first top-k
   tie-breaks beam-major and every beam picks the same token — the search
-  degenerates to greedy, which is what the reference actually computes; the loop
-  stops when the current *best* beam emits ``<end>``. (The reference scores by
-  cumulative raw-probability product; product-of-probs ordering equals
-  sum-of-log-probs ordering, so log-space accumulation reproduces its selection
-  without the underflow.)
+  degenerates to greedy, which is what the reference actually computes. Exact
+  loop semantics (``pipeline.py:118-154``) are preserved, including on crafted
+  ties: finished beams are NOT frozen (the reference keeps multiplying real
+  probabilities, so a beam that emitted ``<end>`` keeps expanding); the stop
+  check looks only at whether the current *best* beam's *last* token is
+  ``<end>`` (non-sticky — a mid-sequence ``<end>`` does not stop or strip); per
+  batch item the result is latched the first time that check fires, mirroring
+  the reference's early ``return``. (The reference scores by cumulative
+  raw-probability product; product-of-probs ordering equals sum-of-log-probs
+  ordering, so log-space accumulation reproduces its selection without the
+  underflow, and ``lax.top_k``'s lowest-index tie-break matches ``tf.math.top_k``.)
 
 Termination/stripping semantics match the reference (``pipeline.py:143-154``):
 the returned best sequence drops the leading ``<start>`` and, if the beam ended
-with ``<end>``, that trailing token.
+with ``<end>``, that trailing token (fast mode additionally cuts at the first
+``<end>``; parity mode keeps mid-sequence ``<end>``s exactly as the reference
+does).
 """
 
 from __future__ import annotations
@@ -83,6 +91,12 @@ def beam_search(
     batch = enc_output.shape[0]
     bk = batch * beam_n
 
+    if parity and fused:
+        raise ValueError(
+            "parity mode requires the XLA decode path (the fused kernel "
+            "freezes finished beams in-kernel; the reference does not freeze)"
+        )
+
     if fused:
         from ..ops.fused_decoder import (
             fused_decode_step,
@@ -130,18 +144,26 @@ def beam_search(
     own_rows = jnp.arange(bk, dtype=jnp.int32)
     src = srcT if fused else jnp.broadcast_to(own_rows[:, None], (bk, max_len + 1))
 
+    # Parity mode mirrors the reference's early `return` (pipeline.py:147-149):
+    # per batch item, latch the result the first time the best beam's LAST
+    # token is <end>. The beams themselves keep expanding (no freezing), which
+    # matters on exact ties where beams diverge.
+    done = jnp.zeros((batch,), jnp.bool_)
+    res_seq = jnp.zeros((batch, max_len), jnp.int32)
+    res_len = jnp.zeros((batch,), jnp.int32)
+    res_score = jnp.zeros((batch,), jnp.float32)
+
     def cond(carry):
-        t, _, _, _, _, _, finished = carry
+        t, _, _, _, _, _, finished, done, *_ = carry
         if parity:
-            # reference: stop when the current-best beam has emitted <end>
-            # (beams are kept score-sorted by top_k → beam 0 is best)
-            all_done = jnp.all(finished[:, 0])
+            all_done = jnp.all(done)
         else:
             all_done = jnp.all(finished)
         return jnp.logical_and(t < max_len, jnp.logical_not(all_done))
 
     def body(carry):
-        t, tokens, scores, cache, src, seqs, finished = carry
+        (t, tokens, scores, cache, src, seqs, finished,
+         done, res_seq, res_len, res_score) = carry
         if fused:
             # embedding + PE in XLA; everything else (6 layers + final vocab
             # projection + log-softmax + freeze + score add + per-row top-k)
@@ -171,11 +193,13 @@ def beam_search(
             vocab = log_probs.shape[-1]
             log_probs = log_probs.reshape(batch, beam_n, vocab)
 
-            # freeze finished beams: only pad (id 0) continues, at zero added score
-            pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[0].set(0.0)
-            log_probs = jnp.where(
-                finished[..., None], pad_row[None, None, :], log_probs
-            )
+            if not parity:
+                # freeze finished beams: only pad (id 0) continues, at zero
+                # added score (the reference never freezes — pipeline.py:118-141)
+                pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[0].set(0.0)
+                log_probs = jnp.where(
+                    finished[..., None], pad_row[None, None, :], log_probs
+                )
             total = scores[..., None] + log_probs                  # (B, K, V)
             flat = total.reshape(batch, beam_n * vocab)
 
@@ -198,23 +222,50 @@ def beam_search(
         seqs = jax.lax.dynamic_update_slice(
             seqs, new_tokens[..., None], (0, 0, t)
         )
-        was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
-        finished = jnp.logical_or(was_finished, new_tokens == end_token)
+        if parity:
+            # reference: finished means "last token is <end>" — non-sticky
+            finished = new_tokens == end_token
+            # latch results for items whose best beam just ended (first time)
+            ended_now = new_tokens[:, 0] == end_token
+            newly = jnp.logical_and(ended_now, jnp.logical_not(done))
+            idx = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+            cand = jnp.where(idx < t, seqs[:, 0, :], 0)  # 0..t-1: trailing <end> dropped
+            res_seq = jnp.where(newly[:, None], cand, res_seq)
+            res_len = jnp.where(newly, t, res_len)
+            res_score = jnp.where(newly, new_scores[:, 0], res_score)
+            done = jnp.logical_or(done, newly)
+        else:
+            was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+            finished = jnp.logical_or(was_finished, new_tokens == end_token)
 
-        return (t + 1, new_tokens.reshape(-1), new_scores, cache, src, seqs, finished)
+        return (t + 1, new_tokens.reshape(-1), new_scores, cache, src, seqs,
+                finished, done, res_seq, res_len, res_score)
 
-    carry = (jnp.int32(0), tokens, init_scores, cache, src, seqs, finished)
-    t, tokens, scores, cache, src, seqs, finished = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.int32(0), tokens, init_scores, cache, src, seqs, finished,
+             done, res_seq, res_len, res_score)
+    (t, tokens, scores, cache, src, seqs, finished,
+     done, res_seq, res_len, res_score) = jax.lax.while_loop(cond, body, carry)
 
     # best beam per batch item (top_k keeps beams score-sorted → index 0)
     best_seq = seqs[:, 0, :]           # (B, max_len) — includes <end> if emitted
     best_score = scores[:, 0]
+    idx = jnp.arange(best_seq.shape[1])[None, :]
+
+    if parity:
+        # items never latched ran to max_len with a best beam whose last token
+        # is not <end> (else they would have latched): return all t tokens,
+        # mid-sequence <end>s kept — exact reference stripping
+        # (pipeline.py:143-154: `beam_result[1:-1]` / `beam_result[1:]`)
+        tail_seq = jnp.where(idx < t, best_seq, 0)
+        stripped = jnp.where(done[:, None], res_seq, tail_seq)
+        lengths = jnp.where(done, res_len, t).astype(jnp.int32)
+        final_score = jnp.where(done, res_score, best_score)
+        return stripped, lengths, final_score
 
     # strip trailing <end> (replace with pad) and compute lengths
     is_end = best_seq == end_token
     ended = jnp.any(is_end, axis=1)
     end_pos = jnp.argmax(is_end, axis=1)
-    idx = jnp.arange(best_seq.shape[1])[None, :]
     keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
     stripped = jnp.where(keep, best_seq, 0)
     lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
