@@ -159,17 +159,49 @@ def _import_convbn(params, stats, layers, keras_conv, keras_bn, our, report):
         report.missed.append(keras_bn)
 
 
+def apply_flat_updates(
+    variables: Any, updates: dict[str, np.ndarray]
+) -> tuple[Any, ImportReport]:
+    """Overwrite parameters by flat ``"a/b/c" -> array`` paths (shape-checked).
+
+    Used by the TF-reference execution-parity harness (tests/tf_reference.py)
+    to push weights extracted from the ACTUAL reference Keras model into the
+    Flax tree. Paths are relative to ``variables["params"]``."""
+    import flax
+    import jax
+
+    report = ImportReport()
+    params = jax.tree.map(np.asarray, variables["params"])
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    for path, value in updates.items():
+        if path not in flat:
+            report.missed.append(path)
+            continue
+        if flat[path].shape != np.shape(value):
+            raise ValueError(
+                f"shape mismatch at {path}: {flat[path].shape} vs {np.shape(value)}"
+            )
+        flat[path] = np.asarray(value, dtype=flat[path].dtype)
+        report.matched.append(path)
+    new_vars = dict(variables)
+    new_vars["params"] = flax.traverse_util.unflatten_dict(flat, sep="/")
+    return new_vars, report
+
+
 def import_retinanet_weights(
-    variables: Any, h5_path: str, n_conv_submodule: int = 2
+    variables: Any, h5_path, n_conv_submodule: int = 2
 ) -> tuple[Any, ImportReport]:
     """Import backbone/FPN/head-trunk weights into a Transformer's variables.
 
-    ``variables``: the flax variables dict ({"params", "batch_stats"}). Returns
-    (new_variables, report). Unmatched parameters keep their initialization.
+    ``variables``: the flax variables dict ({"params", "batch_stats"}).
+    ``h5_path``: a Keras h5 weight file path, or an already-loaded
+    ``{layer_name: {weight:0 ...}}`` dict (the in-memory TF-reference parity
+    harness builds one from a live Keras model). Returns (new_variables,
+    report). Unmatched parameters keep their initialization.
     """
     import jax
 
-    layers = load_keras_h5(h5_path)
+    layers = h5_path if isinstance(h5_path, dict) else load_keras_h5(h5_path)
     report = ImportReport()
 
     params = jax.tree.map(np.asarray, variables["params"])
