@@ -58,15 +58,16 @@ def measure_latency(pipeline, files, image_size: int, n: int) -> dict:
     this times the full request path a caller actually experiences, including
     host↔device transfer and any tunnel round-trip."""
     reps = [files[i % len(files)] for i in range(n)]
+    u8 = bool(getattr(pipeline, "accepts_uint8", False))
     # warm-up: compiles the batch-1 encode + decode programs
-    img = load_image_batch(reps[:1], image_size)
+    img = load_image_batch(reps[:1], image_size, as_uint8=u8)
     seqs, lengths = pipeline.predict_batch(img)
     pipeline.to_caption(seqs[0], lengths[0])
 
     times = []
     for f in reps:
         t0 = time.perf_counter()
-        img = load_image_batch([f], image_size)
+        img = load_image_batch([f], image_size, as_uint8=u8)
         seqs, lengths = pipeline.predict_batch(img)
         pipeline.to_caption(seqs[0], lengths[0])
         times.append((time.perf_counter() - t0) * 1000)
@@ -108,12 +109,17 @@ def main(
     batch = max(cfg.decode_batch, 1)
     chunks = [files[i : i + batch] for i in range(0, len(files), batch)]
     results: list[dict] = []
+    # live Pipelines take raw uint8 (normalized on-device, 4× smaller
+    # transfer); exported artifacts were traced at float32
+    u8 = bool(getattr(pipeline, "accepts_uint8", False))
     # one dedicated prefetch thread; load_image_batch fans out its own decode
     # workers (native C++ loader when built, PIL fallback otherwise)
     prefetcher = ThreadPoolExecutor(max_workers=1)
 
     def submit(chunk):
-        return prefetcher.submit(load_image_batch, chunk, cfg.image_input_size)
+        return prefetcher.submit(
+            load_image_batch, chunk, cfg.image_input_size, as_uint8=u8
+        )
 
     def captioned(chunk, imgs):
         if len(chunk) < batch:  # pad the tail so the compiled shape is reused

@@ -63,11 +63,17 @@ def calc_max_length(tensor) -> int:
     return max(len(t) for t in tensor)
 
 
-def load_image(img_path: str, caption=None, image_size: int = 512):
+def load_image(img_path: str, caption=None, image_size: int = 512,
+               as_uint8: bool = False):
     """Decode → RGB → resize to (size, size) bilinear → scale to [-1, 1].
 
     Mirrors reference ``load_image`` (``dataset.py:19-26``: decode_jpeg,
     ``tf.image.resize`` default bilinear, MobileNetV2 ``preprocess_input``).
+
+    ``as_uint8=True`` skips the normalization and returns the resized uint8
+    pixels — for shipping 4×-smaller batches to the device and normalizing
+    there (``models.layers.normalize_images``, fused into the jitted encode).
+    Bit-exact vs the float path: PIL's resize emits uint8 either way.
     """
     from PIL import Image
 
@@ -75,18 +81,26 @@ def load_image(img_path: str, caption=None, image_size: int = 512):
         im = im.convert("RGB")
         if im.size != (image_size, image_size):
             im = im.resize((image_size, image_size), Image.BILINEAR)
+        if as_uint8:
+            return np.asarray(im, dtype=np.uint8), caption
         arr = np.asarray(im, dtype=np.float32)
     arr = arr / 127.5 - 1.0
     return arr, caption
 
 
-def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
+def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16,
+                     as_uint8: bool = False):
     """Batched decode+resize+normalize → (N, S, S, 3) float32.
 
     Prefers the native C++ loader (runtime/image_loader.cc — half-pixel bilinear
     like ``tf.image.resize``, the reference's semantics); per-image PIL fallback
     for formats the native decoder doesn't handle (e.g. JPEG) or when the
     toolchain is unavailable.
+
+    ``as_uint8=True`` returns (N, S, S, 3) uint8 for on-device normalization
+    (``models.layers.normalize_images``). The native loader's float output is
+    re-quantized to uint8 (``rint((x+1)·127.5)``) — the same half-quantum
+    ceiling as ``DecodedImageCache``; the PIL path is bit-exact.
     """
     from ..runtime import native_loader
 
@@ -102,9 +116,13 @@ def load_image_batch(paths: list[str], image_size: int, num_workers: int = 16):
                     pool.map(lambda j: load_image(paths[j], None, image_size)[0], bad),
                 ):
                     out[i] = img
+        if as_uint8:
+            return np.clip(np.rint((out + 1.0) * 127.5), 0, 255).astype(np.uint8)
         return out
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        imgs = list(pool.map(lambda p: load_image(p, None, image_size)[0], paths))
+        imgs = list(pool.map(
+            lambda p: load_image(p, None, image_size, as_uint8=as_uint8)[0], paths
+        ))
     return np.stack(imgs)
 
 
@@ -457,7 +475,8 @@ class COCO_Images_ImageID:
     """
 
     def __init__(self, dataDir: str, dataType: str, n_val: int | None = None,
-                 image_size: int = 512, seed: int | None = None):
+                 image_size: int = 512, seed: int | None = None,
+                 shard_count: int = 1, shard_index: int = 0):
         self.dataDir = dataDir
         self.dataType = dataType
         self.image_size = image_size
@@ -472,6 +491,13 @@ class COCO_Images_ImageID:
 
         self.max_len = len(self.imgIds) if n_val is None else n_val
         self.imgIds = self.imgIds if n_val is None else self.imgIds[:n_val]
+        if shard_count > 1:
+            # per-process shard for multi-host eval. UNLIKE the training
+            # shards, these may be uneven — Pipeline._evaluate_multihost runs
+            # the decode loop in lockstep with dummy batches, so no image is
+            # dropped from the metric
+            self.imgIds = self.imgIds[shard_index::shard_count]
+        self.max_len = min(self.max_len, len(self.imgIds))
         self.iterIndex = 0
 
     def _load(self, imgId):

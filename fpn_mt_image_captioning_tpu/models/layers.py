@@ -28,9 +28,35 @@ __all__ = [
     "stacked_he_normal",
     "random_normal_init",
     "prior_probability_bias",
+    "normalize_images",
     "upsample_like",
     "max_pool_2x",
 ]
+
+
+def normalize_images(images: jax.Array) -> jax.Array:
+    """On-device ``uint8 RGB → [-1, 1] float32``; float inputs pass through.
+
+    Lets every caller ship raw uint8 HWC bytes to the device — 4× fewer
+    bytes than float32, and the measured HTTP-serving bottleneck is exactly
+    that host→device transfer (benchmarks/serving_http_tpu_beam.json) — with
+    the reference's MobileNetV2 ``preprocess_input`` scaling
+    (``/root/reference/dataset.py:19-26``: ``x/127.5 - 1``) fused into the
+    jitted encode as an XLA transform.
+
+    Accuracy: PIL's bilinear resize emits uint8, so both paths scale the
+    identical integers; XLA fuses the scale into an FMA, leaving f32 outputs
+    within two unit-scale ULPs (≤1.2e-7 absolute) of the host's two-op numpy
+    sequence and bitwise IDENTICAL after the bf16 cast the flagship serving
+    model applies — pinned exhaustively over all 256 byte values, and at the
+    decoded-sequence level, in tests/test_uint8_feed.py.
+
+    The dtype switch happens at trace time, so float32 callers' HLO — and
+    their persistent compile-cache entries — are unchanged.
+    """
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 127.5 - 1.0
+    return images
 
 
 def he_normal():

@@ -42,7 +42,12 @@ from flax import linen as nn
 
 from .attention import MultiHeadAttention, MultiViewAttention
 from .feature_extractor import FeatureExtractor
-from .layers import he_normal, resolve_activation, stacked_he_normal
+from .layers import (
+    he_normal,
+    normalize_images,
+    resolve_activation,
+    stacked_he_normal,
+)
 from .positional import positional_encoding, raw_positional_encoding
 
 __all__ = ["EncoderLayer", "DecoderLayer", "Encoder", "Decoder", "Transformer"]
@@ -173,7 +178,9 @@ class Encoder(nn.Module):
         ]
 
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
-        views = self.feature_extractor(images, train=train)
+        # uint8 batches normalize on-device (4× smaller host→device transfer;
+        # trace-time switch — float callers' HLO is unchanged)
+        views = self.feature_extractor(normalize_images(images), train=train)
         return self.encode_views(views, train=train)
 
     def from_taps(self, c3, c4, c5, train: bool = False) -> jax.Array:

@@ -431,12 +431,18 @@ def fused_encode(model, variables: Any, images: jax.Array, *, interpret: bool = 
     MobileNetV2 weights (cheap; traced once under jit), run the fused backbone,
     then FPN/heads/UMV encoder through the regular flax apply
     (``Transformer.encode_from_taps``)."""
+    from ..models.layers import normalize_images
+
     fe_params = variables["params"]["encoder"]["feature_extractor"]
     fe_stats = variables["batch_stats"]["encoder"]["feature_extractor"]
     packed = pack_backbone_weights(
         fe_params["backbone"], fe_stats["backbone"], dtype=model.dtype
     )
-    c3, c4, c5 = fused_mobilenet_backbone(packed, images, interpret=interpret)
+    # this path bypasses Encoder.__call__, so apply the uint8 → [-1, 1]
+    # on-device normalization here too
+    c3, c4, c5 = fused_mobilenet_backbone(
+        packed, normalize_images(images), interpret=interpret
+    )
     return model.apply(
         variables, c3, c4, c5, train=False, method=type(model).encode_from_taps
     )

@@ -35,6 +35,7 @@ __all__ = [
     "process_shard",
     "is_primary",
     "globalize_batch",
+    "localize_rows",
     "gather_rows",
 ]
 
@@ -98,6 +99,26 @@ def globalize_batch(sharding, local: np.ndarray) -> jax.Array:
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local)
+
+
+def localize_rows(global_arr, mesh) -> np.ndarray:
+    """Inverse of ``globalize_batch`` for OUTPUTS: this process' rows of a
+    batch-sharded (axis 0 = mesh data axis) global array, as host numpy.
+    Single-process: the whole array. Used by the multi-host decode path
+    (``Pipeline._predict_chunk``) — a global decode result is not fully
+    addressable on any one process, so ``np.asarray`` on it would throw;
+    this takes exactly the rows this process contributed, in their original
+    local order."""
+    if jax.process_count() == 1:
+        return np.asarray(global_arr)
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(mesh.axis_names[0], *([None] * (global_arr.ndim - 1)))
+    local = multihost_utils.global_array_to_host_local_array(
+        global_arr, mesh, spec
+    )
+    return np.asarray(local)
 
 
 def gather_rows(local_rows: np.ndarray) -> np.ndarray:

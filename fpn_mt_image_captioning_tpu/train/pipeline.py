@@ -86,6 +86,12 @@ def build_train_step_fn(model, optimizer, seed: int):
 
 
 class Pipeline:
+    # image batches may arrive as uint8 HWC bytes — the jitted encode
+    # normalizes on-device (models/layers.py:normalize_images), shrinking the
+    # host→device transfer 4×. Exported artifacts (export.ExportedServing)
+    # are traced at float32 and do NOT set this.
+    accepts_uint8 = True
+
     def __init__(
         self,
         tokenizer_filename: str,
@@ -323,7 +329,11 @@ class Pipeline:
         return cache[beam_n]
 
     def predict_batch(self, images, beam_n: int | None = None):
-        """Caption a batch of images. ``images``: (B, S, S, 3) in [-1, 1].
+        """Caption a batch of images. ``images``: (B, S, S, 3) — float in
+        [-1, 1], or raw uint8 (normalized on-device inside the jitted encode;
+        4× smaller host→device transfer, inputs within 1 unit-scale f32 ULP
+        of the host path and identical in bf16 — tests/test_uint8_feed.py
+        pins decoded sequences equal).
         Returns (sequences (B, L) int32 np, lengths (B,) np).
 
         Under a mesh the batch is padded to a multiple of the data-axis size
@@ -335,24 +345,32 @@ class Pipeline:
         chunks (tail zero-padded so every chunk reuses one compiled program).
         Beam search is batch-parallel, so chunking is result-invariant; it
         keeps arbitrarily large serving batches inside the fused kernel's
-        per-launch VMEM ceiling (512 rows at flagship dims)."""
+        per-launch VMEM ceiling (512 rows at flagship dims).
+
+        Multi-host (``jax.process_count() > 1``): ``images`` is this process'
+        HOST-LOCAL rows (same contract as ``train_step``); the global batch is
+        assembled over the mesh, decoded batch-sharded, and THIS PROCESS' rows
+        come back (local-in → local-out; ``parallel/multihost.py``). All
+        processes must call with the SAME local row count — the sharded decode
+        is a lockstep global program. Use ``evaluate`` for per-process corpus
+        shards of uneven size; ``gather_rows`` to assemble global results."""
         cfg = self.config
         beam_n = cfg.beam_search_n if beam_n is None else beam_n
-        if jax.process_count() > 1:
-            # Multi-host DECODE is deliberately unsupported: assembling a
-            # global batch from per-process rows and re-ordering the gathered
-            # outputs is easy to get silently wrong and impossible to validate
-            # without a real multi-process launch. Training scales multi-host
-            # (parallel/multihost.py); run eval/serving on one host — 100 val
-            # images decode in <10 s at the measured single-chip rate.
+        if jax.process_count() > 1 and self.mesh is None:
+            # a multi-process runtime without a global mesh has no way to
+            # place the other processes' rows — configure MeshConfig(enabled)
+            # (train.py does) or run decode single-host
             raise NotImplementedError(
-                "predict_batch under a multi-process runtime: run evaluation "
-                "on a single host (see parallel/multihost.py)"
+                "predict_batch under a multi-process runtime requires a mesh "
+                "(Config.mesh.enabled) — see parallel/multihost.py"
             )
         images = np.asarray(images)
         n_real = images.shape[0]
         limit = cfg.max_decode_rows
-        ndev = self._data_axis_size
+        # per-device row accounting must use the LOCAL share of the data axis
+        # under a multi-process runtime: `images` is this process' host-local
+        # rows and the global batch is process_count× bigger
+        ndev = max(1, self._data_axis_size // jax.process_count())
         # per-device rows AFTER the mesh pad: ceil(B/ndev) * beam (the pad in
         # _predict_chunk rounds B up, so comparing n_real*beam to limit*ndev
         # would under-trigger right at the boundary and recompile into the
@@ -384,7 +402,8 @@ class Pipeline:
         pad = 0
         if self.mesh is not None:
             images, pad = self._pad_batch(images)
-        enc = self._encode(self.variables, jnp.asarray(images))
+        images = self._globalize_images(images)
+        enc = self._encode(self.variables, images)
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
         # reference's degenerate tie-breaking reproduced bit-exactly in f32).
         # Under a mesh the fused kernel runs batch-sharded through shard_map —
@@ -413,10 +432,31 @@ class Pipeline:
                 parity=cfg.beam_parity_mode, fused=fused,
                 pack_dtype=jnp.dtype(cfg.compute_dtype),
             )
-        seqs, lengths = np.asarray(seqs), np.asarray(lengths)
+        seqs, lengths = self._localize(seqs), self._localize(lengths)
         if pad:
             seqs, lengths = seqs[:n_real], lengths[:n_real]
         return seqs, lengths
+
+    def _globalize_images(self, images):
+        """Multi-process: assemble the global, mesh-sharded image batch from
+        this process' host-local rows (same wiring as ``train_step``);
+        single-process: plain device transfer."""
+        if jax.process_count() > 1:
+            from ..parallel.mesh import data_sharding
+            from ..parallel.multihost import globalize_batch
+
+            return globalize_batch(data_sharding(self.mesh, 4), images)
+        return jnp.asarray(images)
+
+    def _localize(self, global_rows):
+        """Multi-process: this process' rows of a batch-sharded global decode
+        output (``parallel/multihost.py:localize_rows``); single-process:
+        plain host fetch."""
+        if jax.process_count() > 1:
+            from ..parallel.multihost import localize_rows
+
+            return localize_rows(global_rows, self.mesh)
+        return np.asarray(global_rows)
 
     def sample_batch(self, images, *, seed: int = 0, temperature=1.0,
                      top_k: int = 0, top_p=None):
@@ -430,12 +470,10 @@ class Pipeline:
         (sequences (B, L) int32 np, lengths (B,) np)."""
         from ..decode.beam_search import sample_decode
 
-        if jax.process_count() > 1:
-            # same deliberate refusal as predict_batch: multi-host decode's
-            # gather/re-order is easy to get silently wrong — fail loudly
+        if jax.process_count() > 1 and self.mesh is None:
             raise NotImplementedError(
-                "sample_batch under a multi-process runtime: run serving on a "
-                "single host (see predict_batch / parallel/multihost.py)"
+                "sample_batch under a multi-process runtime requires a mesh "
+                "(Config.mesh.enabled) — see parallel/multihost.py"
             )
         images = np.asarray(images)
         n_real = images.shape[0]
@@ -451,7 +489,20 @@ class Pipeline:
                 temperature = np.concatenate([temperature, np.ones(pad, np.float32)])
                 if top_p is not None:
                     top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
-        enc = self._encode(self.variables, jnp.asarray(images))
+        enc = self._encode(self.variables, self._globalize_images(images))
+        if jax.process_count() > 1:
+            # per-row sampling knobs are batch-aligned inputs: assemble them
+            # over the mesh exactly like the image rows
+            from ..parallel.mesh import data_sharding
+            from ..parallel.multihost import globalize_batch
+
+            temperature = globalize_batch(
+                data_sharding(self.mesh, 1), np.ascontiguousarray(temperature)
+            )
+            if top_p is not None:
+                top_p = globalize_batch(
+                    data_sharding(self.mesh, 1), np.ascontiguousarray(top_p)
+                )
         seqs, lengths = sample_decode(
             self.transformer, self.variables, enc, jax.random.PRNGKey(seed),
             max_len=self.max_seq_len,
@@ -459,7 +510,7 @@ class Pipeline:
             temperature=jnp.asarray(temperature), top_k=top_k,
             top_p=None if top_p is None else jnp.asarray(top_p),
         )
-        seqs, lengths = np.asarray(seqs), np.asarray(lengths)
+        seqs, lengths = self._localize(seqs), self._localize(lengths)
         if pad:
             seqs, lengths = seqs[:n_real], lengths[:n_real]
         return seqs, lengths
@@ -476,6 +527,13 @@ class Pipeline:
         (``decoder_layer{n}_block{1,2}`` — reference ``transformer.py:337``) by
         teacher-forcing the decoded sequence back through the full decoder.
         Returns (token sequence, attention_weights)."""
+        if jax.process_count() > 1:
+            # single-image debugging API; its attention re-forward reads the
+            # result host-side, which a global mesh program can't satisfy
+            raise NotImplementedError(
+                "predict_with_attention is single-host-only (use show_results "
+                "on one host)"
+            )
         seqs, lengths = self.predict_batch(np.asarray(img)[None], beam_n=beam_n)
         seq = seqs[0][: lengths[0]]
         tokens = np.concatenate([[self.start_token], np.asarray(seq)])
@@ -499,12 +557,21 @@ class Pipeline:
     def evaluate(self, generator, max_seq_len: int | None = None):
         """Caption every (img, imgId) from the generator. Accepts either the
         one-at-a-time parity iterator or a ``COCO_Images_ImageID`` (in which case
-        decode runs batched)."""
+        decode runs batched).
+
+        Multi-host: ``generator`` holds this process' corpus shard; every
+        process runs the decode loop in LOCKSTEP over the global mesh (uneven
+        shards are evened out with dummy batches — the sharded program is
+        collective under TP and must be entered by all processes), and the
+        returned list is the GLOBAL result set, identical on every process
+        (token rows + image ids are allgathered, keyed by image_id)."""
         results = []
         batch = max(self.config.decode_batch, 1)
         # keep decode batches divisible by the data axis so nothing re-pads
         d = self._data_axis_size
         batch = ((batch + d - 1) // d) * d
+        if jax.process_count() > 1:
+            return self._evaluate_multihost(generator, batch)
         if hasattr(generator, "iter_batches") and batch > 1:
             for imgs, img_ids, valid in generator.iter_batches(batch):
                 seqs, lengths = self.predict_batch(imgs)
@@ -519,6 +586,64 @@ class Pipeline:
                 {"image_id": imgId, "caption": self.to_caption(seqs[0], lengths[0])}
             )
         return results
+
+    def _evaluate_multihost(self, generator, batch: int):
+        """Multi-host eval: per-process local-shard decode in lockstep +
+        ``gather_rows`` reassembly (SURVEY §2.5 shard-aware decode; VERDICT r3
+        item 4). Each iteration allgathers a 1-int "I still have rows" flag so
+        processes with smaller shards keep feeding dummy batches until every
+        shard is drained, then token rows and image ids are allgathered and
+        detokenized — all processes return the identical global result list."""
+        from ..parallel.multihost import gather_rows
+
+        if not hasattr(generator, "iter_batches") or batch <= 1:
+            raise NotImplementedError(
+                "multi-host evaluate needs a batched iterator "
+                "(COCO_Images_ImageID.iter_batches)"
+            )
+        s = self.config.image_input_size
+        it = generator.iter_batches(batch)
+        ids_l: list[int] = []
+        seqs_l: list[np.ndarray] = []
+        lens_l: list[np.ndarray] = []
+        L = self.max_seq_len  # refined to the decode output's width below
+        while True:
+            try:
+                imgs, img_ids, valid = next(it)
+            except StopIteration:
+                imgs, img_ids, valid = None, [], 0
+            # lockstep gate: decode while ANY process still has real rows
+            have = gather_rows(np.array([[1 if valid else 0]], np.int32))
+            if not have.any():
+                break
+            if imgs is None:  # dummy batch keeps this process in the program
+                imgs = np.zeros((batch, s, s, 3), np.float32)
+            seqs, lengths = self.predict_batch(imgs)
+            L = seqs.shape[1]  # identical on every process (same program)
+            for i in range(valid):
+                ids_l.append(int(img_ids[i]))
+                seqs_l.append(np.asarray(seqs[i]))
+                lens_l.append(int(lengths[i]))
+        # ---- global reassembly: pad local results to the max local count ----
+        n_loc = len(ids_l)
+        counts = gather_rows(np.array([[n_loc]], np.int32)).ravel()
+        m = int(counts.max())
+        ids = np.full((m,), -1, np.int64)
+        seq_arr = np.zeros((m, L), np.int32)
+        len_arr = np.zeros((m,), np.int32)
+        if n_loc:
+            ids[:n_loc] = ids_l
+            seq_arr[:n_loc] = np.stack(seqs_l)
+            len_arr[:n_loc] = lens_l
+        g_ids = gather_rows(ids)
+        g_seqs = gather_rows(seq_arr)
+        g_lens = gather_rows(len_arr)
+        return [
+            {"image_id": int(g_ids[i]),
+             "caption": self.to_caption(g_seqs[i], int(g_lens[i]))}
+            for i in range(len(g_ids))
+            if g_ids[i] >= 0  # drop the per-process padding rows
+        ]
 
     def evaluate_img(self, img, max_seq_len: int | None = None):
         """Single-image result list (reference ``pipeline.py:177-194``)."""

@@ -216,12 +216,16 @@ def main() -> None:
         "p99_ms": round(pct(0.99), 1),
         "host_cores": os.cpu_count(),
         "backend": jax.default_backend(),
-        # each device batch ships B×S×S×3 f32 host→device; through the
-        # remote-TPU tunnel of this environment that transfer dominates the
-        # device-batch window (colocated-host PCIe would make it negligible —
-        # compare bench.py's on-device slope for the compute-only number)
+        # each device batch ships B×S×S×3 host→device — uint8 (1 B/px) when
+        # the live Pipeline normalizes on-device (round 4), f32 (4 B/px) for
+        # exported artifacts. Through the remote-TPU tunnel of this
+        # environment that transfer dominates the device-batch window
+        # (colocated-host PCIe would make it negligible — compare bench.py's
+        # on-device slope for the compute-only number)
+        "uint8_feed": srv.input_uint8,
         "batch_upload_mb": round(
-            args.serve_batch * args.image_size**2 * 3 * 4 / 1e6, 1
+            args.serve_batch * args.image_size**2 * 3
+            * (1 if srv.input_uint8 else 4) / 1e6, 1
         ),
         "server_stats": stats,
     }

@@ -71,15 +71,26 @@ from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 from fpn_mt_image_captioning_tpu.utils.profiling import StepTimer
 
 
-def decode_image_bytes(data: bytes, image_size: int) -> np.ndarray:
+def decode_image_bytes(data: bytes, image_size: int,
+                       as_uint8: bool = False) -> np.ndarray:
     """Decode → RGB → bilinear resize → [-1, 1] float32 (HTTP-body variant of
-    ``data/dataset.py:load_image`` — same semantics, in-memory source)."""
+    ``data/dataset.py:load_image`` — same semantics, in-memory source).
+
+    ``as_uint8=True`` returns the resized uint8 pixels instead — the live
+    Pipeline normalizes them on-device (``models.layers.normalize_images``),
+    and the host→device batch transfer shrinks 4× (the measured serving
+    bottleneck, benchmarks/serving_http_tpu_beam.json). PIL's resize emits
+    uint8 either way; the on-device ``x/127.5 - 1`` lands within one
+    unit-scale f32 ULP of the host path (identical in bf16 — see
+    models/layers.py:normalize_images)."""
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB")
         if im.size != (image_size, image_size):
             im = im.resize((image_size, image_size), Image.BILINEAR)
+        if as_uint8:
+            return np.asarray(im, dtype=np.uint8)
         arr = np.asarray(im, dtype=np.float32)
     return arr / 127.5 - 1.0
 
@@ -257,6 +268,10 @@ class CaptionServer(ThreadingHTTPServer):
                  max_queue: int | None = None):
         self.pipeline = pipeline
         self.cfg = cfg
+        # live Pipelines normalize uint8 on-device (4× smaller host→device
+        # transfer); exported artifacts were traced at float32 and keep the
+        # host-side normalization
+        self.input_uint8 = bool(getattr(pipeline, "accepts_uint8", False))
         self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms,
                                       decode=decode, sample_seed=sample_seed,
                                       max_queue=max_queue)
@@ -366,7 +381,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(400, {"error": "empty body; POST raw image bytes"})
                 return
             data = self.rfile.read(length)
-            img = decode_image_bytes(data, srv.cfg.image_input_size)
+            img = decode_image_bytes(data, srv.cfg.image_input_size,
+                                     as_uint8=srv.input_uint8)
         except Exception as e:
             self._reply(400, {"error": f"undecodable image: {e}"})
             return
@@ -467,7 +483,7 @@ def main(argv: list[str]) -> None:
     # better spent before the first request than inside it)
     warm = np.zeros(
         (server.batcher.batch, cfg.image_input_size, cfg.image_input_size, 3),
-        np.float32,
+        np.uint8 if server.input_uint8 else np.float32,
     )
     t0 = time.perf_counter()
     if decode == "sample":

@@ -38,12 +38,17 @@ def main(cfg: Config) -> None:
     from fpn_mt_image_captioning_tpu.parallel.multihost import (
         is_primary,
         maybe_initialize,
+        process_shard,
     )
 
     maybe_initialize()
+    # multi-host: each process decodes only its shard of the val set; the
+    # results are reassembled globally inside Pipeline.evaluate
+    shard_index, shard_count = process_shard()
     val_datasets = COCO_Images_ImageID(
         cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
         image_size=cfg.image_input_size,
+        shard_count=shard_count, shard_index=shard_index,
     )
     additional_info = load_additional_info(cfg.additional_filename)
     key_epoch = "mt_epoch_" + os.path.basename(cfg.transformer_checkpoint_path)
@@ -129,22 +134,33 @@ def main(cfg: Config) -> None:
                 if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
                     import jax
 
-                    if jax.process_count() > 1:
-                        # multi-host: beam-search eval is single-host-only (see
-                        # Pipeline.predict_batch); checkpoint ungated so pods
-                        # still save, and CIDEr-eval offline on one host
-                        master.ckpt_manager.save(epoch + 1, master.state)
-                        print("multi-process run: checkpoint saved ungated; "
-                              "run eval-only (is_training=false) on one host")
-                        continue
                     print("Evaluating...")
+                    # multi-host: every process decodes its val shard in
+                    # lockstep over the mesh and receives the identical GLOBAL
+                    # result list (Pipeline._evaluate_multihost)
                     results = master.evaluate(iter(val_datasets))
-                    os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
-                    with open(cfg.result_file, "w") as outfile:
-                        json.dump(results, outfile)
+                    if is_primary():
+                        os.makedirs(os.path.dirname(cfg.result_file) or ".",
+                                    exist_ok=True)
+                        with open(cfg.result_file, "w") as outfile:
+                            json.dump(results, outfile)
 
                     if results:
-                        cider = master.metric_eval(cfg.result_file)
+                        if jax.process_count() > 1:
+                            # CIDEr computed once on the primary, then shared:
+                            # the smart saver's (collective) save/stop decision
+                            # must be identical on every process
+                            from fpn_mt_image_captioning_tpu.parallel.multihost import (  # noqa: E501
+                                gather_rows,
+                            )
+
+                            local = np.array(
+                                [[master.metric_eval(cfg.result_file)
+                                  if is_primary() else 0.0]], np.float64,
+                            )
+                            cider = float(gather_rows(local)[0, 0])
+                        else:
+                            cider = master.metric_eval(cfg.result_file)
                         writer.scalar("CIDEr", cider, epoch)
                         jsonl.scalar("CIDEr", cider, epoch)
                         should_break = master.smart_ckpt_saver(epoch + 1, cider, master.state)
