@@ -37,6 +37,8 @@ __all__ = [
     "globalize_batch",
     "localize_rows",
     "gather_rows",
+    "barrier",
+    "aligned_call",
 ]
 
 _initialized = False
@@ -64,8 +66,65 @@ def maybe_initialize() -> bool:
     if os.environ.get("JAX_PROCESS_ID"):
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(**kwargs)
+    # Force the CPU-collectives (Gloo) context to rendezvous NOW, while
+    # inter-process skew is ~zero (initialize blocks until every process has
+    # connected to the coordinator). Gloo's context init has a hardcoded
+    # ~30 s KV-store window; without this, the first real collective fires
+    # only after per-process compile work, and any >30 s skew (cold caches,
+    # loaded hosts) kills the job with "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED" — reproduced by the 2-process CPU tests under
+    # 1-core contention. Harmless on TPU backends (one cheap psum).
+    try:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("fpn_mt_multihost_init")
+    except Exception:  # pragma: no cover - sync is an optimization
+        pass
     _initialized = True
     return True
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Rendezvous every process at the coordination service (pure gRPC — no
+    Gloo context, no compile, no hardcoded window). No-op single-process.
+
+    Use this to realign processes after per-process work of uneven duration
+    (compiles, data loading): the CPU-collectives (Gloo) backend creates a
+    context per compiled collective program at its FIRST execution, with a
+    hardcoded ~30 s KV-store rendezvous window, so any >30 s inter-process
+    skew at that point kills the job with "Gloo context initialization
+    failed: DEADLINE_EXCEEDED" (reproduced by the 2-process CPU tests on a
+    loaded 1-core host, where XLA compiles serialize across processes)."""
+    if _single_process() or jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # pragma: no cover - initialize() always sets it
+        return
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+def aligned_call(jitted, name: str, cache: dict, *args):
+    """Execute a jitted collective program multi-process-safely: AOT-compile
+    LOCALLY (no collective, no Gloo), ``barrier`` so every process arrives,
+    THEN run the compiled executable — its Gloo context rendezvous happens
+    with ~zero skew instead of racing per-process compile times against the
+    ~30 s window (see ``barrier``). Compiled executables are memoized in
+    ``cache`` by input signature; every process must call with the same
+    sequence of signatures (the lockstep contract multi-process decode/train
+    already has). Single-process: a plain call."""
+    if jax.process_count() == 1:
+        return jitted(*args)
+    sig = (name,) + tuple(
+        (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape") else repr(x)
+        for x in jax.tree.leaves(args)
+    )
+    if sig not in cache:
+        compiled = jitted.lower(*args).compile()
+        barrier(f"fpn_mt_aligned/{name}/{len(cache)}")
+        cache[sig] = compiled
+    return cache[sig](*args)
 
 
 def _single_process() -> bool:

@@ -254,7 +254,9 @@ class Pipeline:
                 )
         img = jnp.asarray(img)
         caption_token = jnp.asarray(caption_token, jnp.int32)
-        self.state, loss = self._train_step(self.state, img, caption_token)
+        self.state, loss = self._mp_call(
+            self._train_step, "train_step", self.state, img, caption_token
+        )
         loss = float(loss)
         self.train_loss_history.append(loss)
         return loss
@@ -396,6 +398,19 @@ class Pipeline:
             return seqs, lengths
         return self._predict_chunk(images, beam_n)
 
+    def _mp_call(self, jitted, name: str, *args):
+        """Call a jitted collective program with multi-process compile
+        alignment (``parallel/multihost.py:aligned_call``): AOT-compile
+        locally, rendezvous at the coordination-service barrier, then execute
+        — per-process compile skew must never eat into Gloo's ~30 s
+        context-init window. Single-process: a plain call."""
+        if jax.process_count() == 1:
+            return jitted(*args)
+        from ..parallel.multihost import aligned_call
+
+        cache = self.__dict__.setdefault("_mp_compiled", {})
+        return aligned_call(jitted, name, cache, *args)
+
     def _predict_chunk(self, images: np.ndarray, beam_n: int):
         cfg = self.config
         n_real = images.shape[0]
@@ -403,7 +418,7 @@ class Pipeline:
         if self.mesh is not None:
             images, pad = self._pad_batch(images)
         images = self._globalize_images(images)
-        enc = self._encode(self.variables, images)
+        enc = self._mp_call(self._encode, "encode", self.variables, images)
         # fused Pallas decoder on TPU (disabled in parity mode, which needs the
         # reference's degenerate tie-breaking reproduced bit-exactly in f32).
         # Under a mesh the fused kernel runs batch-sharded through shard_map —
@@ -421,8 +436,9 @@ class Pipeline:
             and cfg.activation in FUSED_ACTIVATIONS
         )
         if self.mesh is not None and fused:
-            seqs, lengths, _scores = self._sharded_beam_search(beam_n)(
-                self.variables, enc
+            seqs, lengths, _scores = self._mp_call(
+                self._sharded_beam_search(beam_n), f"beam{beam_n}",
+                self.variables, enc,
             )
         else:
             seqs, lengths, _scores = beam_search(
@@ -489,7 +505,9 @@ class Pipeline:
                 temperature = np.concatenate([temperature, np.ones(pad, np.float32)])
                 if top_p is not None:
                     top_p = np.concatenate([top_p, np.ones(pad, np.float32)])
-        enc = self._encode(self.variables, self._globalize_images(images))
+        enc = self._mp_call(
+            self._encode, "encode", self.variables, self._globalize_images(images)
+        )
         if jax.process_count() > 1:
             # per-row sampling knobs are batch-aligned inputs: assemble them
             # over the mesh exactly like the image rows
