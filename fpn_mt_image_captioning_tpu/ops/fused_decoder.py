@@ -114,18 +114,28 @@ def pack_decoder_weights(params: Any, num_layers: int, dtype=jnp.bfloat16) -> di
         ]).astype(jnp.float32),
         # final vocabulary projection, vocab padded to a lane multiple; padded
         # bias columns get -1e9 so they never win top-k and vanish in logsumexp
-        **_pack_final(params, dtype),
+        **_pack_final(params, num_layers, dtype),
     }
 
 
-def _pack_final(params: Any, dtype) -> dict:
+def _pack_final(params: Any, num_layers: int, dtype) -> dict:
+    """Final projection, pre-chunked per grid cell: ``wf`` is (cells, d, chunk)
+    with cells = num_layers + 1, so the kernel's blocked pipeline streams one
+    chunk per grid cell (overlapped with layer compute) instead of fetching
+    the whole (d, Vp) matrix serially before cell 0 — at vocab 10000 that
+    pre-launch DMA measured ~59 µs/step (benchmarks/vocab10k_ablation.json,
+    the vocab-dependent cost that survives final-cell ablation). ``bf`` keeps
+    the un-chunked (1, Vp) shape; Vp is recovered from it."""
     wf = jnp.asarray(params["final_layer"]["kernel"])
     bf = jnp.asarray(params["final_layer"]["bias"], jnp.float32)
     d, vocab = wf.shape
     vp = round_up(vocab, 128)
-    wf_p = jnp.zeros((d, vp), dtype).at[:, :vocab].set(wf.astype(dtype))
+    cells = num_layers + 1
+    chunk = round_up(-(-vp // cells), 128)
+    wf_p = jnp.zeros((d, cells * chunk), dtype).at[:, :vocab].set(wf.astype(dtype))
+    wf_c = wf_p.reshape(d, cells, chunk).transpose(1, 0, 2)
     bf_p = jnp.full((1, vp), -1e9, jnp.float32).at[0, :vocab].set(bf)
-    return {"wf": wf_p, "bf": bf_p}
+    return {"wf": wf_c, "bf": bf_p}
 
 
 def init_fused_cache(
@@ -161,7 +171,7 @@ def _decoder_kernel(
     wcq_ref, bcq_ref, wco_ref, bco_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
     kv_cross_ref,            # (1, Lenc, B, 2d) VMEM
-    wf_ref,                  # (d, Vp) — final vocab projection (padded)
+    wf_ref,                  # (1, d, chunk) — this grid cell's final-projection chunk
     bf_ref,                  # (1, Vp) f32 — bias, padded cols = -1e9
     scores_ref,              # (BK, 1) f32 — running beam log-prob scores
     fin_ref,                 # (BK, 1) f32 — 1.0 where beam already finished
@@ -180,6 +190,8 @@ def _decoder_kernel(
     ctx_s,                   # (BK, d)
     lg_s,                    # (Lpad, TILE, 128) f32 — per-head logits staging
     ctx_acc_s,               # (TILE, d) f32 — chunked context accumulator
+    wf_s,                    # (d, cells·chunk) — final projection assembled
+                             # chunk-by-chunk across grid cells (overlapped DMA)
     sem,                     # DMA semaphores (6,): 0,1 row writes;
                              # 2,3 K-history per buffer; 4,5 V-history per buffer
     *,
@@ -203,6 +215,13 @@ def _decoder_kernel(
     @pl.when(layer == 0)
     def _():
         x_s[:] = x_in_ref[:]
+
+    # stage this cell's final-projection chunk (VMEM→VMEM, ~µs): the blocked
+    # pipeline DMA'd it from HBM during the PREVIOUS cell's compute, so the
+    # full (d, Vp) matrix is assembled by final-cell time with zero serial
+    # pre-launch fetch (was ~59 µs/step at vocab 10000)
+    chunk = wf_ref.shape[-1]
+    wf_s[:, pl.ds(layer * chunk, chunk)] = wf_ref[0]
 
     def layer_norm(y_f32, scale_row, bias_row):
         mu = jnp.mean(y_f32, axis=-1, keepdims=True)
@@ -476,7 +495,10 @@ def _decoder_kernel(
         # loop then runs top_k over (B, beam²) instead of (B, beam·V) — the
         # measured ~0.3 ms/step of loop bookkeeping was dominated by that sort
         xf = x_s[:]
-        logits = jnp.dot(xf, wf_ref[:], preferred_element_type=f32) + bf_ref[0]
+        vp_used = bf_ref.shape[-1]
+        logits = (
+            jnp.dot(xf, wf_s[:, :vp_used], preferred_element_type=f32) + bf_ref[0]
+        )
         m = jnp.max(logits, axis=-1, keepdims=True)
         lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
         lp = logits - lse
@@ -548,7 +570,12 @@ def fused_decode_step(
     dtype = packed["wqkv"].dtype
     dff = packed["w1"].shape[-1]
     lenc, b_items = cache["kv_cross"].shape[1:3]
-    vp = packed["wf"].shape[-1]
+    vp = packed["bf"].shape[-1]          # true padded vocab width
+    cells, _, chunk = packed["wf"].shape  # per-grid-cell streaming chunks
+    assert cells == n + 1, (
+        "packed['wf'] chunk count must equal num_layers+1 grid cells — "
+        "repack with pack_decoder_weights(params, num_layers)"
+    )
     tile = min(tile, bk)
     while bk % tile or tile % beam:
         tile -= 1
@@ -593,7 +620,7 @@ def fused_decode_step(
                 (1, lenc, b_items, 2 * d),
                 lambda l, *_: (jnp.minimum(l, nl), 0, 0, 0),
             ),
-            pl.BlockSpec((d, vp), lambda l, *_: (0, 0)),            # wf
+            pl.BlockSpec((1, d, chunk), lambda l, *_: (l, 0, 0)),   # wf chunk
             pl.BlockSpec((1, vp), lambda l, *_: (0, 0)),            # bf
             pl.BlockSpec((bk, 1), lambda l, *_: (0, 0)),            # scores
             pl.BlockSpec((bk, 1), lambda l, *_: (0, 0)),            # finished
@@ -614,6 +641,7 @@ def fused_decode_step(
             pltpu.VMEM((bk, d), dtype),
             pltpu.VMEM((lpad, tile, 128), jnp.float32),
             pltpu.VMEM((tile, d), jnp.float32),
+            pltpu.VMEM((d, cells * chunk), dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
