@@ -38,8 +38,11 @@ from fpn_mt_image_captioning_tpu.ops.fused_decoder import (
     pack_decoder_weights,
 )
 
-BATCH, BEAM, SIZE, MAXLEN, K, POS = 64, 8, 512, 60, 64, 30
+BATCH, BEAM, SIZE, MAXLEN, K, POS = 64, 8, 512, 60, 256, 30
 NL, D, DFF, H = 6, 512, 2048, 8
+REPEATS = 3  # median-of-3: single K=64 slopes swing ±0.15 ms/step on noisy
+             # tunnel days (observed 2026-08-19), far above the 30-120 µs
+             # effects this probe sections; K=256 + median gets under ~10 µs
 
 
 def slope(fn_of_n, k=K):
@@ -50,8 +53,12 @@ def slope(fn_of_n, k=K):
             np.asarray(fn_of_n(jnp.int32(n)))
         return (time.perf_counter() - t0) / 3
 
-    t1, t2 = run(k), run(2 * k)
-    return (t2 - t1) / k
+    samples = []
+    for _ in range(REPEATS):
+        t1, t2 = run(k), run(2 * k)
+        samples.append((t2 - t1) / k)
+    samples.sort()
+    return samples[len(samples) // 2]
 
 
 def build(vocab):
