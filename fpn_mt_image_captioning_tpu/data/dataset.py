@@ -524,16 +524,21 @@ class COCO_Images_ImageID:
             self.coco.loadImgs(imgId)[0]["file_name"],
         )
 
-    def iter_batches(self, batch_size: int, num_workers: int = 16):
+    def iter_batches(self, batch_size: int, num_workers: int = 16,
+                     as_uint8: bool = False):
         """Yield ``(imgs [B,S,S,3], imgIds list, valid count)`` — last batch padded
-        by repeating the final image so shapes stay static for XLA."""
+        by repeating the final image so shapes stay static for XLA.
+
+        ``as_uint8=True`` ships raw resized bytes for on-device normalization
+        (4× smaller host→device transfer — ``Pipeline.accepts_uint8``)."""
         ids = self.imgIds[: self.max_len]
         for start in range(0, len(ids), batch_size):
             chunk = ids[start : start + batch_size]
             paths = [self._path(i) for i in chunk]
             while len(paths) < batch_size:
                 paths.append(paths[-1])
-            imgs = load_image_batch(paths, self.image_size, num_workers)
+            imgs = load_image_batch(paths, self.image_size, num_workers,
+                                    as_uint8=as_uint8)
             yield imgs, chunk, len(chunk)
 
 

@@ -171,9 +171,13 @@ def localize_rows(global_arr, mesh) -> np.ndarray:
     if jax.process_count() == 1:
         return np.asarray(global_arr)
     from jax.experimental import multihost_utils
-    from jax.sharding import PartitionSpec as P
 
-    spec = P(mesh.axis_names[0], *([None] * (global_arr.ndim - 1)))
+    from .mesh import data_sharding
+
+    # the batch-axis spec comes from the ONE place that defines it
+    # (parallel/mesh.py:data_sharding) — renamed data axes stay consistent
+    # between globalize_batch and this inverse
+    spec = data_sharding(mesh, global_arr.ndim).spec
     local = multihost_utils.global_array_to_host_local_array(
         global_arr, mesh, spec
     )
@@ -184,10 +188,20 @@ def gather_rows(local_rows: np.ndarray) -> np.ndarray:
     """Give every process the full set of batch rows (concatenation of each
     process' ``local_rows`` in process order). Identity single-process; uses a
     host-level allgather otherwise. Decode outputs are tiny (token ids), so
-    this stays well under DCN bandwidth."""
+    this stays well under DCN bandwidth.
+
+    64-bit dtypes (image ids are int64) survive even with ``jax_enable_x64``
+    off: ``process_allgather`` round-trips through ``jnp.asarray``, which
+    would silently truncate int64→int32 / float64→float32 — instead the rows
+    are gathered as uint32 halves and re-viewed, bit-exact."""
+    arr = np.asarray(local_rows)
     if jax.process_count() == 1:
-        return np.asarray(local_rows)
+        return arr
+    if arr.dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        pairs = np.ascontiguousarray(arr).view(np.uint32).reshape(*arr.shape, 2)
+        g = gather_rows(pairs)
+        return np.ascontiguousarray(g).view(arr.dtype).reshape(g.shape[:-1])
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(np.asarray(local_rows))
-    return np.reshape(gathered, (-1, *np.shape(local_rows)[1:]))
+    gathered = multihost_utils.process_allgather(arr)
+    return np.reshape(gathered, (-1, *arr.shape[1:]))

@@ -204,9 +204,19 @@ class Pipeline:
             if self.mesh is not None else 1
         )
 
+    @property
+    def _local_data_share(self) -> int:
+        """Number of data-axis devices THIS process feeds. Multi-process, the
+        global batch is the concatenation of every process' local rows, so a
+        local batch only needs to divide the local share — padding to the
+        GLOBAL axis size would both over-pad and break the per-device
+        decode-row accounting in ``predict_batch``."""
+        return max(1, self._data_axis_size // jax.process_count())
+
     def _pad_batch(self, arr: np.ndarray) -> tuple[np.ndarray, int]:
-        """Zero-pad the batch axis to a multiple of the mesh data-axis size."""
-        pad = (-arr.shape[0]) % self._data_axis_size
+        """Zero-pad the (host-local) batch axis so the assembled global batch
+        divides the mesh data axis evenly."""
+        pad = (-arr.shape[0]) % self._local_data_share
         if pad:
             arr = np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)])
         return arr, pad
@@ -369,10 +379,10 @@ class Pipeline:
         images = np.asarray(images)
         n_real = images.shape[0]
         limit = cfg.max_decode_rows
-        # per-device row accounting must use the LOCAL share of the data axis
-        # under a multi-process runtime: `images` is this process' host-local
-        # rows and the global batch is process_count× bigger
-        ndev = max(1, self._data_axis_size // jax.process_count())
+        # per-device row accounting uses the LOCAL share of the data axis:
+        # `images` is this process' host-local rows, and _pad_batch pads to
+        # this same share — so ceil(n_real/ndev) IS the per-device row count
+        ndev = self._local_data_share
         # per-device rows AFTER the mesh pad: ceil(B/ndev) * beam (the pad in
         # _predict_chunk rounds B up, so comparing n_real*beam to limit*ndev
         # would under-trigger right at the boundary and recompile into the
@@ -397,6 +407,31 @@ class Pipeline:
             lengths = np.concatenate([p[1] for p in parts])[:n_real]
             return seqs, lengths
         return self._predict_chunk(images, beam_n)
+
+    def _xla_beam_search(self, beam_n: int, fused: bool):
+        """Memoized jit closure over the XLA beam-search statics, so the
+        multi-process path can AOT-lower it through ``aligned_call`` (the
+        top-level ``beam_search`` jit takes static kwargs, which the aligned
+        compiled-executable cache can't re-pass)."""
+        cache = self.__dict__.setdefault("_xla_beam_cache", {})
+        cfg = self.config
+        key = (beam_n, fused, cfg.beam_parity_mode)
+        if key not in cache:
+            model, max_len = self.transformer, self.max_seq_len
+            start, end = self.start_token, self.end_token
+
+            @jax.jit
+            def run(variables, enc):
+                return beam_search(
+                    model, variables, enc,
+                    beam_n=beam_n, max_len=max_len,
+                    start_token=start, end_token=end,
+                    parity=cfg.beam_parity_mode, fused=fused,
+                    pack_dtype=jnp.dtype(cfg.compute_dtype),
+                )
+
+            cache[key] = run
+        return cache[key]
 
     def _mp_call(self, jitted, name: str, *args):
         """Call a jitted collective program with multi-process compile
@@ -438,6 +473,15 @@ class Pipeline:
         if self.mesh is not None and fused:
             seqs, lengths, _scores = self._mp_call(
                 self._sharded_beam_search(beam_n), f"beam{beam_n}",
+                self.variables, enc,
+            )
+        elif jax.process_count() > 1:
+            # the non-fused leg's jit is collective under a mesh (GSPMD
+            # partitions it over the sharded enc) — its first execution must
+            # go through the same compile-aligned path as encode/train, or
+            # per-process compile skew races Gloo's ~30 s context-init window
+            seqs, lengths, _scores = self._mp_call(
+                self._xla_beam_search(beam_n, fused), f"beam_xla{beam_n}",
                 self.variables, enc,
             )
         else:
@@ -521,17 +565,59 @@ class Pipeline:
                 top_p = globalize_batch(
                     data_sharding(self.mesh, 1), np.ascontiguousarray(top_p)
                 )
-        seqs, lengths = sample_decode(
-            self.transformer, self.variables, enc, jax.random.PRNGKey(seed),
-            max_len=self.max_seq_len,
-            start_token=self.start_token, end_token=self.end_token,
-            temperature=jnp.asarray(temperature), top_k=top_k,
-            top_p=None if top_p is None else jnp.asarray(top_p),
-        )
+        if jax.process_count() > 1:
+            # collective program under a mesh (the termination check reduces
+            # over the batch-sharded axis) — compile-align like the beam leg
+            run = self._sample_mp(top_k, with_top_p=top_p is not None)
+            extra = () if top_p is None else (jnp.asarray(top_p),)
+            seqs, lengths = self._mp_call(
+                run, f"sample{top_k}{'p' if top_p is not None else ''}",
+                self.variables, enc, jax.random.PRNGKey(seed),
+                jnp.asarray(temperature), *extra,
+            )
+        else:
+            seqs, lengths = sample_decode(
+                self.transformer, self.variables, enc, jax.random.PRNGKey(seed),
+                max_len=self.max_seq_len,
+                start_token=self.start_token, end_token=self.end_token,
+                temperature=jnp.asarray(temperature), top_k=top_k,
+                top_p=None if top_p is None else jnp.asarray(top_p),
+            )
         seqs, lengths = self._localize(seqs), self._localize(lengths)
         if pad:
             seqs, lengths = seqs[:n_real], lengths[:n_real]
         return seqs, lengths
+
+    def _sample_mp(self, top_k: int, with_top_p: bool):
+        """Memoized jit closure over ``sample_decode``'s statics for the
+        compile-aligned multi-process path (mirror of ``_xla_beam_search``)."""
+        from ..decode.beam_search import sample_decode
+
+        cache = self.__dict__.setdefault("_sample_mp_cache", {})
+        key = (top_k, with_top_p)
+        if key not in cache:
+            model, max_len = self.transformer, self.max_seq_len
+            start, end = self.start_token, self.end_token
+
+            if with_top_p:
+                @jax.jit
+                def run(variables, enc, rng, temperature, top_p):
+                    return sample_decode(
+                        model, variables, enc, rng, max_len=max_len,
+                        start_token=start, end_token=end,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                    )
+            else:
+                @jax.jit
+                def run(variables, enc, rng, temperature):
+                    return sample_decode(
+                        model, variables, enc, rng, max_len=max_len,
+                        start_token=start, end_token=end,
+                        temperature=temperature, top_k=top_k, top_p=None,
+                    )
+
+            cache[key] = run
+        return cache[key]
 
     def predict(self, img, max_seq_len: int | None = None):
         """Single-image parity API (reference ``pipeline.py:82-154``): returns the
@@ -591,7 +677,12 @@ class Pipeline:
         if jax.process_count() > 1:
             return self._evaluate_multihost(generator, batch)
         if hasattr(generator, "iter_batches") and batch > 1:
-            for imgs, img_ids, valid in generator.iter_batches(batch):
+            # raw uint8 val batches: 4× smaller host→device transfer, the
+            # jitted encode normalizes on-device (tests/test_uint8_feed.py
+            # pins decoded sequences equal to the host-float path)
+            for imgs, img_ids, valid in generator.iter_batches(
+                batch, as_uint8=self.accepts_uint8
+            ):
                 seqs, lengths = self.predict_batch(imgs)
                 for i in range(valid):
                     results.append(
@@ -620,7 +711,11 @@ class Pipeline:
                 "(COCO_Images_ImageID.iter_batches)"
             )
         s = self.config.image_input_size
-        it = generator.iter_batches(batch)
+        # uint8 feed exactly like the single-host leg; the dummy batches below
+        # must carry the SAME dtype or lockstep processes would enter
+        # different compiled programs
+        feed_u8 = self.accepts_uint8
+        it = generator.iter_batches(batch, as_uint8=feed_u8)
         ids_l: list[int] = []
         seqs_l: list[np.ndarray] = []
         lens_l: list[np.ndarray] = []
@@ -635,7 +730,8 @@ class Pipeline:
             if not have.any():
                 break
             if imgs is None:  # dummy batch keeps this process in the program
-                imgs = np.zeros((batch, s, s, 3), np.float32)
+                imgs = np.zeros((batch, s, s, 3),
+                                np.uint8 if feed_u8 else np.float32)
             seqs, lengths = self.predict_batch(imgs)
             L = seqs.shape[1]  # identical on every process (same program)
             for i in range(valid):

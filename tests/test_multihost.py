@@ -46,6 +46,34 @@ def test_globalize_batch_identity_on_mesh():
 def test_gather_rows_identity():
     rows = np.arange(12).reshape(4, 3)
     np.testing.assert_array_equal(multihost.gather_rows(rows), rows)
+    # 64-bit dtypes pass through untouched single-process
+    ids = np.array([2**40, -1], np.int64)
+    out = multihost.gather_rows(ids)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out, ids)
+
+
+def test_pad_batch_pads_to_local_share(monkeypatch):
+    """Multi-process, each host's local rows only need to divide its LOCAL
+    share of the data axis (global = concat of locals): padding to the global
+    axis size would over-pad AND desync predict_batch's per-device decode-row
+    accounting (chunks could overshoot the fused kernel's VMEM ceiling)."""
+    import jax
+
+    from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
+
+    pipe = Pipeline.__new__(Pipeline)
+    pipe.mesh = make_mesh(MeshConfig(data_axis_size=8, model_axis_size=1),
+                          jax.devices()[:8])
+    # single-process: pad to the full 8-wide axis
+    arr, pad = pipe._pad_batch(np.ones((9, 2), np.float32))
+    assert (arr.shape[0], pad) == (16, 7)
+    # two processes feeding a global 8-axis: local share is 4
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert pipe._local_data_share == 4
+    arr, pad = pipe._pad_batch(np.ones((9, 2), np.float32))
+    assert (arr.shape[0], pad) == (12, 3)
+    assert not arr[9:].any()
 
 
 def test_coordinator_env_is_detected(monkeypatch):
@@ -100,6 +128,16 @@ total = float(jnp.sum(g))                        # XLA collective over both proc
 
 rows = mh.gather_rows(local)                     # host allgather, process order
 assert rows.shape == (8, 2)
+
+# 64-bit rows must survive the allgather bit-exactly even with x64 off
+# (image ids are int64; process_allgather would silently truncate to int32)
+big = np.array([2**40 + 7 + pid, -1, 2**33], np.int64)
+g64 = mh.gather_rows(big)
+assert g64.dtype == np.int64 and g64.shape == (6,)
+assert g64.tolist() == [2**40 + 7, -1, 2**33, 2**40 + 8, -1, 2**33]
+f64 = mh.gather_rows(np.array([[1e-300 * (pid + 1)]], np.float64))
+assert f64.dtype == np.float64 and f64[0, 0] == 1e-300 and f64[1, 0] == 2e-300
+
 print(json.dumps({"pid": pid, "sum": total,
                   "first": float(rows[0, 0]), "last": float(rows[-1, 0])}))
 """

@@ -164,6 +164,28 @@ def test_pipeline_sample_batch_uint8_equals_float(tiny_pipeline):
     np.testing.assert_array_equal(s_u8[1], s_f[1])
 
 
+def test_evaluate_feeds_uint8(tiny_pipeline):
+    """Pipeline.evaluate ships raw uint8 val batches (the 4× transfer win
+    applies to eval, not just serving): the iterator must emit uint8 and the
+    results must match an explicit float-path eval of the same corpus."""
+    from fpn_mt_image_captioning_tpu.data.dataset import COCO_Images_ImageID
+
+    cfg = tiny_pipeline.config
+    val = COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, 2,
+                              image_size=IMG, seed=0)
+    imgs_u8, ids, valid = next(val.iter_batches(4, as_uint8=True))
+    assert imgs_u8.dtype == np.uint8 and valid == 2
+    imgs_f, ids_f, _ = next(val.iter_batches(4))
+    assert imgs_f.dtype == np.float32 and ids_f == ids
+
+    results = tiny_pipeline.evaluate(val)
+    assert {r["image_id"] for r in results} == set(val.imgIds)
+    seqs, lengths = tiny_pipeline.predict_batch(imgs_f)
+    expected = {ids[i]: tiny_pipeline.to_caption(seqs[i], lengths[i])
+                for i in range(valid)}
+    assert {r["image_id"]: r["caption"] for r in results} == expected
+
+
 def test_pipeline_train_step_accepts_uint8(tiny_pipeline):
     """The train feed may also ship uint8 (Encoder normalizes on-device):
     one step on uint8 pixels must produce the same loss as the float feed."""

@@ -151,6 +151,7 @@ def main(cfg: Config) -> None:
                             # the smart saver's (collective) save/stop decision
                             # must be identical on every process
                             from fpn_mt_image_captioning_tpu.parallel.multihost import (  # noqa: E501
+                                barrier,
                                 gather_rows,
                             )
 
@@ -158,6 +159,13 @@ def main(cfg: Config) -> None:
                                 [[master.metric_eval(cfg.result_file)
                                   if is_primary() else 0.0]], np.float64,
                             )
+                            # realign before the gather: the primary just
+                            # spent metric_eval-duration (easily >30 s on a
+                            # full val corpus) that the others didn't — its
+                            # first execution opens a NEW Gloo context whose
+                            # init window that skew would blow (see
+                            # multihost.barrier)
+                            barrier("fpn_mt_cider_share")
                             cider = float(gather_rows(local)[0, 0])
                         else:
                             cider = master.metric_eval(cfg.result_file)
@@ -207,16 +215,20 @@ def main(cfg: Config) -> None:
             cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
         )
         print("Evaluating...")
+        # evaluate() itself is collective (all processes decode in lockstep);
+        # artifact writes + scoring happen once, on the primary — concurrent
+        # writers on a shared filesystem would interleave into corrupt JSON
         results = master.evaluate(iter(val_datasets))
-        os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
-        with open(cfg.result_file, "w") as outfile:
-            json.dump(results, outfile)
-        if results:
-            master.metric_eval(cfg.result_file)
-            # pycocoevalcap prints the whole table during compute
-            # (reference eval flow, /root/reference/dataset.py:260-298)
-            for name, value in master.metric_eval.eval.items():
-                print(f"{name}: {value:.4f}")
+        if is_primary():
+            os.makedirs(os.path.dirname(cfg.result_file) or ".", exist_ok=True)
+            with open(cfg.result_file, "w") as outfile:
+                json.dump(results, outfile)
+            if results:
+                master.metric_eval(cfg.result_file)
+                # pycocoevalcap prints the whole table during compute
+                # (reference eval flow, /root/reference/dataset.py:260-298)
+                for name, value in master.metric_eval.eval.items():
+                    print(f"{name}: {value:.4f}")
 
 
 if __name__ == "__main__":
