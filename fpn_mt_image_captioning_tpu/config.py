@@ -105,6 +105,25 @@ class Config:
     schedule_uses_dff: bool = True
 
     # ---- TPU-native knobs (no reference counterpart) ----
+    bn_momentum: float | None = None        # BatchNorm running-stats momentum
+                                            # override. None = each backbone's
+                                            # Keras-faithful default (MobileNetV2
+                                            # 0.999). The Keras default is tuned
+                                            # for long pretrained runs; a short
+                                            # FROM-SCRATCH run leaves inference
+                                            # stats near their (0, 1) init, and
+                                            # the eval-mode encoder collapses to
+                                            # a constant function of its input
+                                            # (round-4 verdict). Set ~0.9 for
+                                            # from-scratch training, or use
+                                            # bn_finalize_batches.
+    bn_finalize_batches: int = 0            # if > 0, train.py recomputes the BN
+                                            # running statistics as EXACT
+                                            # population moments over up to this
+                                            # many train batches before every
+                                            # evaluation (torch/Keras "BN
+                                            # re-estimation"); the Keras-parity
+                                            # momentum path is untouched. 0 = off
     compute_dtype: str = "bfloat16"         # matmul/conv compute dtype on TPU
     param_dtype: str = "float32"
     decode_batch: int = 16                  # images decoded per device step in eval

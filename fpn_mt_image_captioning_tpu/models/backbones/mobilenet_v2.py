@@ -48,6 +48,10 @@ class _ConvBN(nn.Module):
     strides: tuple[int, int] = (1, 1)
     groups: int = 1
     use_relu6: bool = True
+    # Keras MobileNetV2 default. Tuned for long pretrained runs — short
+    # from-scratch runs should lower it (Config.bn_momentum) or finalize
+    # stats post-training (Pipeline.finalize_batch_stats).
+    bn_momentum: float = 0.999
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,7 +68,7 @@ class _ConvBN(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.999,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             dtype=self.dtype,
             name="bn",
@@ -78,6 +82,7 @@ class _InvertedResidual(nn.Module):
     features: int
     stride: int
     expansion: int
+    bn_momentum: float = 0.999
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,16 +90,19 @@ class _InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         h = x
         if self.expansion != 1:
-            h = _ConvBN(in_ch * self.expansion, (1, 1), dtype=self.dtype, name="expand")(h, train)
+            h = _ConvBN(in_ch * self.expansion, (1, 1), bn_momentum=self.bn_momentum,
+                        dtype=self.dtype, name="expand")(h, train)
         h = _ConvBN(
             h.shape[-1],
             (3, 3),
             strides=(self.stride, self.stride),
             groups=h.shape[-1],
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             name="depthwise",
         )(h, train)
-        h = _ConvBN(self.features, (1, 1), use_relu6=False, dtype=self.dtype, name="project")(h, train)
+        h = _ConvBN(self.features, (1, 1), use_relu6=False,
+                    bn_momentum=self.bn_momentum, dtype=self.dtype, name="project")(h, train)
         if self.stride == 1 and in_ch == self.features:
             h = h + x
         return h
@@ -104,12 +112,14 @@ class MobileNetV2Backbone(nn.Module):
     """Returns ``(C3, C4, C5)`` feature maps at strides 8/16/32."""
 
     alpha: float = 1.0
+    bn_momentum: float = 0.999
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         first = make_divisible(32 * self.alpha)
-        x = _ConvBN(first, (3, 3), strides=(2, 2), dtype=self.dtype, name="stem")(x, train)
+        x = _ConvBN(first, (3, 3), strides=(2, 2), bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="stem")(x, train)
 
         taps = {}
         for gi, (t, c, n, s) in enumerate(_BLOCK_CONFIG):
@@ -117,7 +127,8 @@ class MobileNetV2Backbone(nn.Module):
             for bi in range(n):
                 stride = s if bi == 0 else 1
                 x = _InvertedResidual(
-                    out_ch, stride, t, dtype=self.dtype, name=f"block_{gi}_{bi}"
+                    out_ch, stride, t, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name=f"block_{gi}_{bi}"
                 )(x, train)
             if gi == _C3_GROUP:
                 taps["C3"] = x
@@ -125,6 +136,7 @@ class MobileNetV2Backbone(nn.Module):
                 taps["C4"] = x
 
         last = make_divisible(1280 * self.alpha) if self.alpha > 1.0 else 1280
-        x = _ConvBN(last, (1, 1), dtype=self.dtype, name="head")(x, train)
+        x = _ConvBN(last, (1, 1), bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="head")(x, train)
         taps["C5"] = x
         return taps["C3"], taps["C4"], taps["C5"]

@@ -24,13 +24,14 @@ class _ConvBN(nn.Module):
     kernel: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     relu: bool = True
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding="SAME", use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          epsilon=1.001e-5, dtype=self.dtype, name="bn")(x)
         return jax.nn.relu(x) if self.relu else x
 
@@ -39,6 +40,7 @@ class _Bottleneck(nn.Module):
     filters: int
     stride: int = 1
     project: bool = False
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,32 +48,39 @@ class _Bottleneck(nn.Module):
         shortcut = x
         if self.project:
             shortcut = _ConvBN(self.filters * 4, (1, 1), (self.stride, self.stride),
-                               relu=False, dtype=self.dtype, name="shortcut")(x, train)
+                               relu=False, bn_momentum=self.bn_momentum,
+                               dtype=self.dtype, name="shortcut")(x, train)
         h = _ConvBN(self.filters, (1, 1), (self.stride, self.stride),
-                    dtype=self.dtype, name="conv1")(x, train)
-        h = _ConvBN(self.filters, (3, 3), dtype=self.dtype, name="conv2")(h, train)
-        h = _ConvBN(self.filters * 4, (1, 1), relu=False, dtype=self.dtype, name="conv3")(h, train)
+                    bn_momentum=self.bn_momentum, dtype=self.dtype, name="conv1")(x, train)
+        h = _ConvBN(self.filters, (3, 3), bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="conv2")(h, train)
+        h = _ConvBN(self.filters * 4, (1, 1), relu=False, bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="conv3")(h, train)
         return jax.nn.relu(h + shortcut)
 
 
 class ResNetBackbone(nn.Module):
     depth: int = 50
+    bn_momentum: float = 0.99
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         blocks = _DEPTH_BLOCKS[self.depth]
-        x = _ConvBN(64, (7, 7), (2, 2), dtype=self.dtype, name="stem")(x, train)
+        x = _ConvBN(64, (7, 7), (2, 2), bn_momentum=self.bn_momentum,
+                    dtype=self.dtype, name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         taps = []
         for stage, n in enumerate(blocks):
             filters = 64 * (2**stage)
             stride = 1 if stage == 0 else 2
-            x = _Bottleneck(filters, stride, project=True, dtype=self.dtype,
+            x = _Bottleneck(filters, stride, project=True,
+                            bn_momentum=self.bn_momentum, dtype=self.dtype,
                             name=f"stage{stage}_block0")(x, train)
             for b in range(1, n):
-                x = _Bottleneck(filters, dtype=self.dtype,
+                x = _Bottleneck(filters, bn_momentum=self.bn_momentum,
+                                dtype=self.dtype,
                                 name=f"stage{stage}_block{b}")(x, train)
             taps.append(x)
         # stages 1, 2, 3 → C3 (stride 8), C4 (16), C5 (32)

@@ -64,10 +64,13 @@ class FeatureExtractor(nn.Module):
     n_conv_submodule: int = 2
     activation: str = "leaky_relu"
     leaky_relu_alpha: float = 0.2
+    bn_momentum: float | None = None   # None = backbone's Keras-faithful default
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = resolve_backbone(self.backbone_name, dtype=self.dtype)
+        self.backbone = resolve_backbone(
+            self.backbone_name, dtype=self.dtype, bn_momentum=self.bn_momentum
+        )
         self.fpn = FPN(feature_size=self.feature_size, dtype=self.dtype)
         self.regression_trunk = _HeadTrunk(
             self.n_conv_submodule, self.feature_size, self.dtype, name="regression_trunk"

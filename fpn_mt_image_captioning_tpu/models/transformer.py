@@ -130,6 +130,7 @@ class Encoder(nn.Module):
     n_conv_submodule: int = 2
     activation: str = "leaky_relu"
     remat: bool = False
+    bn_momentum: float | None = None   # None = backbone's Keras-faithful default
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -138,6 +139,7 @@ class Encoder(nn.Module):
             d_model=self.d_model,
             n_conv_submodule=self.n_conv_submodule,
             activation=self.activation,
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             name="feature_extractor",
         )
@@ -401,6 +403,7 @@ class Transformer(nn.Module):
     n_conv_submodule: int = 2
     activation: str = "leaky_relu"
     remat_encoder: bool = False
+    bn_momentum: float | None = None   # None = backbone's Keras-faithful default
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -408,7 +411,8 @@ class Transformer(nn.Module):
             self.num_layers, self.d_model, self.num_heads, self.dff,
             self.input_vocab_size, self.num_pyramids, self.baseline_index,
             self.rate, self.backbone_name, self.n_conv_submodule,
-            self.activation, self.remat_encoder, self.dtype, name="encoder",
+            self.activation, self.remat_encoder,
+            bn_momentum=self.bn_momentum, dtype=self.dtype, name="encoder",
         )
         self.decoder = Decoder(
             self.num_layers, self.d_model, self.num_heads, self.dff,

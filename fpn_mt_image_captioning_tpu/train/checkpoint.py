@@ -48,7 +48,54 @@ class CheckpointManager:
         step = self.latest_step if step is None else step
         if step is None:
             return None
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template)
+            )
+        except ValueError as exact_err:
+            # Forward-compat shim: an optimizer swap changes the opt_state
+            # pytree (e.g. the r3→r4 optax-AMSGrad → KerasAdamState move) and
+            # the exact restore above fails on structure mismatch. Model
+            # weights are still perfectly usable — restore params /
+            # batch_stats / step field-wise and REINITIALIZE opt_state from
+            # the live template, loudly. Any mismatch outside opt_state is a
+            # real incompatibility and re-raises.
+            if not (hasattr(state_template, "_fields")
+                    and "opt_state" in state_template._fields):
+                raise
+            raw = self._mgr.restore(step)  # raw nested dicts, no template
+            ts = jax.tree_util.tree_structure
+            restored = {}
+            for f in state_template._fields:
+                tmpl_field = getattr(state_template, f)
+                if f == "opt_state":
+                    continue
+                if f not in raw or ts(raw[f]) != ts(tmpl_field):
+                    raise ValueError(
+                        f"checkpoint step {step}: field {f!r} structure does "
+                        f"not match the live model — not a plain optimizer-"
+                        f"format drift, refusing partial restore"
+                    ) from exact_err
+                bad = [
+                    (getattr(a, "shape", None), getattr(b, "shape", None))
+                    for a, b in zip(jax.tree_util.tree_leaves(raw[f]),
+                                    jax.tree_util.tree_leaves(tmpl_field))
+                    if np.shape(a) != np.shape(b)
+                ]
+                if bad:
+                    raise ValueError(
+                        f"checkpoint step {step}: field {f!r} leaf shapes "
+                        f"differ from the live model: {bad[:3]}"
+                    ) from exact_err
+                restored[f] = raw[f]
+            print(
+                f"WARNING: checkpoint step {step} stores an optimizer state "
+                f"from an older optimizer format; restored params/batch_stats"
+                f"/step and REINITIALIZED opt_state (momenta reset — expect a "
+                f"brief warmup transient)."
+            )
+            restored["opt_state"] = state_template.opt_state
+            return type(state_template)(**restored)
 
     def all_steps(self):
         return self._mgr.all_steps()

@@ -85,6 +85,31 @@ def build_train_step_fn(model, optimizer, seed: int):
     return train_step
 
 
+def _population_stats(per_batch):
+    """Combine per-batch BN moments into population moments.
+
+    Each BN collection node is a ``{'mean', 'var'}`` dict holding that batch's
+    exact moments (momentum-0 forward). Combination is exact for equal-size
+    batches: ``M = E_k[m_k]``, ``V = E_k[v_k + m_k²] − M²`` (f64 accumulation,
+    clamped at 0 against rounding)."""
+    from collections.abc import Mapping
+
+    def rec(nodes):
+        first = nodes[0]
+        if isinstance(first, Mapping) and set(first) == {"mean", "var"}:
+            m = np.stack([np.asarray(n["mean"], np.float64) for n in nodes])
+            v = np.stack([np.asarray(n["var"], np.float64) for n in nodes])
+            mean = m.mean(0)
+            var = np.maximum((v + m * m).mean(0) - mean * mean, 0.0)
+            return {
+                "mean": jnp.asarray(mean, jnp.float32),
+                "var": jnp.asarray(var, jnp.float32),
+            }
+        return {k: rec([n[k] for n in nodes]) for k in first}
+
+    return rec(list(per_batch))
+
+
 class Pipeline:
     # image batches may arrive as uint8 HWC bytes — the jitted encode
     # normalizes on-device (models/layers.py:normalize_images), shrinking the
@@ -123,6 +148,7 @@ class Pipeline:
             n_conv_submodule=cfg.n_conv_submodule,
             activation=cfg.activation,
             remat_encoder=cfg.remat_encoder,
+            bn_momentum=cfg.bn_momentum,
             dtype=jnp.dtype(cfg.compute_dtype),
         )
 
@@ -270,6 +296,90 @@ class Pipeline:
         loss = float(loss)
         self.train_loss_history.append(loss)
         return loss
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _bn_stats_fn(self):
+        """Jitted: one batch's EXACT BatchNorm moments, from a momentum-0
+        clone of the model (Flax's update ``ra = m*ra + (1-m)*batch``
+        collapses to ``ra = batch``). Only the vision trunk runs — BN lives
+        exclusively in the backbone."""
+        from ..models.layers import normalize_images
+
+        model0 = self.transformer.clone(bn_momentum=0.0)
+
+        def batch_stats(variables, images):
+            def fx(mdl, imgs):
+                return mdl.encoder.feature_extractor(
+                    normalize_images(imgs), train=True
+                )
+
+            _, mut = model0.apply(
+                variables, images, method=fx, mutable=["batch_stats"]
+            )
+            return mut["batch_stats"]
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # replicated output: every process can fetch the stats host-side
+            return jax.jit(
+                batch_stats,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
+        return jax.jit(batch_stats)
+
+    def finalize_batch_stats(self, batches, n_batches: int | None = None) -> int:
+        """Recompute the BatchNorm running statistics as exact population
+        moments over training batches (BN "re-estimation").
+
+        The Keras-faithful momentum (MobileNetV2: 0.999) is tuned for long
+        pretrained runs; after a short FROM-SCRATCH run the inference stats
+        are still near their (0, 1) init, mis-scaled pre-activations saturate
+        relu6, and the eval-mode encoder degenerates to a constant function
+        of its input (round-4 verdict). This pass replaces the EMA with exact
+        population moments: per-batch (m_k, v_k) from a momentum-0 clone,
+        combined as ``M = E_k[m_k]``, ``V = E_k[v_k + m_k²] − M²`` (exact for
+        equal-size batches; f64 accumulation). Runs enabled via
+        ``Config.bn_finalize_batches`` in ``train.py`` before every
+        evaluation. Keras-parity runs booting from the pretrained ``.h5``
+        (real COCO stats) never need it, and their momentum path is untouched.
+
+        ``batches``: iterable of image batches or ``(image, caption)`` pairs
+        (uint8 or float). Batches whose leading dim differs from the first
+        used batch are skipped (tail batches — they'd force a second compile
+        and, multi-process, desync the lockstep collective). Returns the
+        number of batches used; 0 (no-op) if the model has no BN.
+        """
+        if not self.state.batch_stats:
+            return 0
+        per_batch: list = []
+        lead = None
+        for item in batches:
+            img = item[0] if isinstance(item, (tuple, list)) else item
+            img = np.asarray(img)
+            if lead is None:
+                lead = img.shape[0]
+            if img.shape[0] != lead:
+                continue
+            if self.mesh is not None:
+                padded, pad = self._pad_batch(img)
+                if pad:  # zero rows would pollute the population moments
+                    continue
+                img = padded
+            stats = self._mp_call(
+                self._bn_stats_fn, "bn_stats", self.variables,
+                self._globalize_images(img),
+            )
+            per_batch.append(jax.device_get(stats))
+            if n_batches is not None and len(per_batch) >= n_batches:
+                break
+        if not per_batch:
+            return 0
+        self.state = self.state._replace(
+            batch_stats=_population_stats(per_batch)
+        )
+        return len(per_batch)
 
     # ------------------------------------------------------------------
     @functools.cached_property

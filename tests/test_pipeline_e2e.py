@@ -135,6 +135,48 @@ def test_checkpoint_roundtrip(trained, workdir):
     assert all(np.allclose(x, y) for x, y in zip(a, b))
 
 
+def test_checkpoint_optimizer_format_forward_compat(tmp_path):
+    """A checkpoint written under an OLDER optimizer format (different
+    opt_state pytree — e.g. the r3 optax-AMSGrad chain vs the r4
+    KerasAdamState) must still restore: params/batch_stats/step come from
+    disk, opt_state reinitializes from the live template with a warning.
+    Structure drift anywhere else must still hard-error."""
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.train.checkpoint import CheckpointManager
+    from fpn_mt_image_captioning_tpu.train.pipeline import TrainState
+    from fpn_mt_image_captioning_tpu.train.schedule import KerasAdamState
+
+    old_opt = ((jnp.zeros(3), jnp.zeros(3)), (jnp.ones(1),))  # optax-chain-like
+    old = TrainState(
+        params={"w": jnp.arange(3.0)},
+        batch_stats={"bn": {"mean": jnp.full(3, 2.0), "var": jnp.ones(3)}},
+        opt_state=old_opt,
+        step=jnp.int32(7),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(5, old)
+
+    fresh_opt = KerasAdamState(count=jnp.int32(0), m={"w": jnp.zeros(3)},
+                               v={"w": jnp.zeros(3)}, vhat={"w": jnp.zeros(3)})
+    template = TrainState(params={"w": jnp.zeros(3)},
+                          batch_stats={"bn": {"mean": jnp.zeros(3), "var": jnp.ones(3)}},
+                          opt_state=fresh_opt, step=jnp.int32(0))
+    restored = mgr.restore(template)
+    assert np.allclose(restored.params["w"], [0.0, 1.0, 2.0])
+    assert np.allclose(restored.batch_stats["bn"]["mean"], 2.0)
+    assert int(restored.step) == 7
+    # opt_state is the TEMPLATE's (reinitialized), not the stored chain
+    assert isinstance(restored.opt_state, KerasAdamState)
+    assert int(restored.opt_state.count) == 0
+
+    # a params-structure mismatch is NOT shimmed over
+    bad_template = template._replace(params={"w": jnp.zeros(3), "extra": jnp.zeros(2)})
+    with pytest.raises(ValueError):
+        mgr.restore(bad_template)
+    mgr.close()
+
+
 def test_smart_saver_early_stop_semantics():
     """State machine parity (reference utils/utils.py:126-154)."""
     from fpn_mt_image_captioning_tpu.train.checkpoint import SmartCheckpointSaver

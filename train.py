@@ -134,6 +134,16 @@ def main(cfg: Config) -> None:
                 if (epoch + 1) % cfg.n_epoch_to_evaluate == 0:
                     import jax
 
+                    if cfg.bn_finalize_batches > 0:
+                        # recompute BN inference stats as exact population
+                        # moments before decoding — a short from-scratch run
+                        # at the Keras momentum (0.999) leaves them near the
+                        # (0, 1) init and the eval-mode encoder collapses to
+                        # a constant function (Pipeline.finalize_batch_stats)
+                        used = master.finalize_batch_stats(
+                            iter(train_datasets), cfg.bn_finalize_batches
+                        )
+                        print(f"BN stats finalized over {used} train batches")
                     print("Evaluating...")
                     # multi-host: every process decodes its val shard in
                     # lockstep over the mesh and receives the identical GLOBAL
