@@ -109,8 +109,8 @@ def main(
     batch = max(cfg.decode_batch, 1)
     chunks = [files[i : i + batch] for i in range(0, len(files), batch)]
     results: list[dict] = []
-    # live Pipelines take raw uint8 (normalized on-device, 4× smaller
-    # transfer); exported artifacts were traced at float32
+    # live Pipelines and uint8-capable artifacts take raw uint8 (normalized
+    # on-device, 4× smaller transfer); pre-uint8 artifacts keep float
     u8 = bool(getattr(pipeline, "accepts_uint8", False))
     # one dedicated prefetch thread; load_image_batch fans out its own decode
     # workers (native C++ loader when built, PIL fallback otherwise)

@@ -42,6 +42,14 @@ ARTIFACT_META = "artifact.json"
 ARTIFACT_FN = "serving.jaxexport"
 ARTIFACT_SAMPLE_FN = "sampling.jaxexport"          # temperature-only program
 ARTIFACT_SAMPLE_NUCLEUS_FN = "sampling_nucleus.jaxexport"  # + per-row top_p
+# uint8-input twins of each program (on-device x/127.5-1 normalize traced in —
+# models/layers.py:normalize_images keys on the traced dtype): 4× smaller
+# host→device image transfer, the measured HTTP-serving bottleneck
+# (benchmarks/serving_http_tpu_beam.json). The float32 programs above stay in
+# the artifact so pre-uint8 loaders (and float-tensor callers) keep working.
+ARTIFACT_U8_FN = "serving_u8.jaxexport"
+ARTIFACT_SAMPLE_U8_FN = "sampling_u8.jaxexport"
+ARTIFACT_SAMPLE_NUCLEUS_U8_FN = "sampling_nucleus_u8.jaxexport"
 ARTIFACT_WEIGHTS = "weights.msgpack"
 ARTIFACT_TOKENIZER = "tokenizer.json"
 
@@ -199,25 +207,33 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
     var_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), variables
     )
-    img_spec = jax.ShapeDtypeStruct(
-        (batch, cfg.image_input_size, cfg.image_input_size, 3), jnp.float32
-    )
-
-    exported, check_disabled = export_with_fallback(serve, var_spec, img_spec)
+    img_shape = (batch, cfg.image_input_size, cfg.image_input_size, 3)
+    img_specs = {
+        ARTIFACT_FN: jax.ShapeDtypeStruct(img_shape, jnp.float32),
+        # uint8 twin: same serving fn — normalize_images switches on the
+        # traced dtype, so this program carries the on-device x/127.5-1
+        ARTIFACT_U8_FN: jax.ShapeDtypeStruct(img_shape, jnp.uint8),
+    }
 
     from flax import serialization
 
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT_FN), "wb") as f:
-        f.write(exported.serialize())
+    check_disabled = False
+    for fname, img_spec in img_specs.items():
+        exported, cd = export_with_fallback(serve, var_spec, img_spec)
+        check_disabled = check_disabled or cd
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exported.serialize())
     if sample:
         # stochastic-serving programs (XLA path, no Pallas/VMEM constraints):
         # per-row seed/temperature/top_p inputs, same fixed image batch
         seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
         row_spec = jax.ShapeDtypeStruct((batch,), jnp.float32)
-        for fname, nucleus in (
-            (ARTIFACT_SAMPLE_FN, False),
-            (ARTIFACT_SAMPLE_NUCLEUS_FN, True),
+        for fname, nucleus, img_fname in (
+            (ARTIFACT_SAMPLE_FN, False, ARTIFACT_FN),
+            (ARTIFACT_SAMPLE_NUCLEUS_FN, True, ARTIFACT_FN),
+            (ARTIFACT_SAMPLE_U8_FN, False, ARTIFACT_U8_FN),
+            (ARTIFACT_SAMPLE_NUCLEUS_U8_FN, True, ARTIFACT_U8_FN),
         ):
             fn = build_sampling_fn(
                 pipeline.transformer,
@@ -225,7 +241,7 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
                 start_token=pipeline.start_token,
                 end_token=pipeline.end_token, nucleus=nucleus,
             )
-            specs = [var_spec, img_spec, seed_spec, row_spec]
+            specs = [var_spec, img_specs[img_fname], seed_spec, row_spec]
             if nucleus:
                 specs.append(row_spec)
             exported_s, cd = export_with_fallback(fn, *specs)
@@ -251,6 +267,9 @@ def export_serving(pipeline, out_dir: str, batch: int | None = None,
         "target_vocab_size": pipeline.target_vocab_size,
         "compute_dtype": cfg.compute_dtype,
         "sampling": sample,
+        # uint8-input twin programs present (serving_u8.jaxexport etc.):
+        # loaders dispatch on input dtype; serve.py/caption.py ship raw bytes
+        "accepts_uint8": True,
     }
     with open(os.path.join(out_dir, ARTIFACT_META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -287,12 +306,25 @@ class ExportedServing:
         self._call = jax.jit(self._exported.call)
         self.batch = int(self.meta["batch"])
         self.image_size = int(self.meta["image_size"])
+        # uint8-input twin programs (artifacts exported before the uint8 feed
+        # carry float-only programs — accepts_uint8 stays False and serving
+        # surfaces fall back to the float feed)
+        self.accepts_uint8 = bool(self.meta.get("accepts_uint8", False))
+        if self.accepts_uint8:
+            with open(os.path.join(path, ARTIFACT_U8_FN), "rb") as f:
+                self._call_u8 = jax.jit(
+                    jax_export.deserialize(bytearray(f.read())).call
+                )
         # stochastic-serving programs (present when exported with sample=True)
         self.supports_sampling = bool(self.meta.get("sampling", False))
         if self.supports_sampling:
             self._sample_calls = {}
-            for key, fname in (("plain", ARTIFACT_SAMPLE_FN),
-                               ("nucleus", ARTIFACT_SAMPLE_NUCLEUS_FN)):
+            names = [("plain", ARTIFACT_SAMPLE_FN),
+                     ("nucleus", ARTIFACT_SAMPLE_NUCLEUS_FN)]
+            if self.accepts_uint8:
+                names += [("plain_u8", ARTIFACT_SAMPLE_U8_FN),
+                          ("nucleus_u8", ARTIFACT_SAMPLE_NUCLEUS_U8_FN)]
+            for key, fname in names:
                 with open(os.path.join(path, fname), "rb") as f:
                     self._sample_calls[key] = jax.jit(
                         jax_export.deserialize(bytearray(f.read())).call
@@ -319,22 +351,34 @@ class ExportedServing:
                 f"artifact was exported at beam_n={self.meta['beam_n']}; "
                 f"re-export for beam_n={beam_n}"
             )
-        images = np.asarray(images, np.float32)
+        images, call = self._coerce_images(images)
+        n_real = images.shape[0]
+        seqs, lengths = [], []
+        for i in range(0, n_real, self.batch):
+            chunk = _pad_chunk(images[i : i + self.batch], self.batch)
+            s, l = call(self._variables, jnp.asarray(chunk))
+            seqs.append(np.asarray(s))
+            lengths.append(np.asarray(l))
+        return np.concatenate(seqs)[:n_real], np.concatenate(lengths)[:n_real]
+
+    def _coerce_images(self, images, *, sampling: bool = False):
+        """Validate the image batch and pick the program for its dtype:
+        uint8 input rides the uint8-traced twin (on-device normalize, 4×
+        smaller transfer) when the artifact carries one; anything else is
+        float-path. Returns ``(images, call)`` (for sampling, ``call`` is the
+        {plain, nucleus} suffix key instead)."""
+        u8 = (np.asarray(images).dtype == np.uint8) and self.accepts_uint8
+        images = np.asarray(images, np.uint8 if u8 else np.float32)
         if images.shape[0] == 0:
-            raise ValueError("predict_batch: empty batch (need at least 1 image)")
+            raise ValueError("empty batch (need at least 1 image)")
         if images.shape[1:] != (self.image_size, self.image_size, 3):
             raise ValueError(
                 f"expected (B, {self.image_size}, {self.image_size}, 3) images, "
                 f"got {images.shape}"
             )
-        n_real = images.shape[0]
-        seqs, lengths = [], []
-        for i in range(0, n_real, self.batch):
-            chunk = _pad_chunk(images[i : i + self.batch], self.batch)
-            s, l = self._call(self._variables, jnp.asarray(chunk))
-            seqs.append(np.asarray(s))
-            lengths.append(np.asarray(l))
-        return np.concatenate(seqs)[:n_real], np.concatenate(lengths)[:n_real]
+        if sampling:
+            return images, ("_u8" if u8 else "")
+        return images, (self._call_u8 if u8 else self._call)
 
     def sample_batch(self, images, *, seed: int = 0, temperature=1.0,
                      top_k: int = 0, top_p=None):
@@ -352,21 +396,16 @@ class ExportedServing:
         if top_k:
             raise ValueError("top_k is a trace-time constant the artifact was "
                              "exported without; re-export to change it")
-        images = np.asarray(images, np.float32)
-        if images.shape[0] == 0:
-            raise ValueError("sample_batch: empty batch (need at least 1 image)")
-        if images.shape[1:] != (self.image_size, self.image_size, 3):
-            raise ValueError(
-                f"expected (B, {self.image_size}, {self.image_size}, 3) images, "
-                f"got {images.shape}"
-            )
+        images, suffix = self._coerce_images(images, sampling=True)
         n_real = images.shape[0]
         temperature = np.broadcast_to(
             np.asarray(temperature, np.float32), (n_real,)
         )
         if top_p is not None:
             top_p = np.broadcast_to(np.asarray(top_p, np.float32), (n_real,))
-        call = self._sample_calls["nucleus" if top_p is not None else "plain"]
+        call = self._sample_calls[
+            ("nucleus" if top_p is not None else "plain") + suffix
+        ]
         seqs, lengths = [], []
         for chunk, i in enumerate(range(0, n_real, self.batch)):
             sl = slice(i, i + self.batch)

@@ -114,7 +114,7 @@ class Pipeline:
     # image batches may arrive as uint8 HWC bytes — the jitted encode
     # normalizes on-device (models/layers.py:normalize_images), shrinking the
     # host→device transfer 4×. Exported artifacts (export.ExportedServing)
-    # are traced at float32 and do NOT set this.
+    # carry uint8-traced twin programs and set this from artifact metadata.
     accepts_uint8 = True
 
     def __init__(

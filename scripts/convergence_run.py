@@ -90,6 +90,14 @@ def main() -> None:
         buffer_size=max(n_train, 1),
         dropout_rate=0.0,   # pure overfit demo — regularization off
         use_pallas=False,   # XLA decode path; kernel parity is tested separately
+        # From-scratch runs NEVER have usable BN inference stats at the Keras
+        # momentum (0.999 — tuned for long pretrained runs): after ~650 steps
+        # the EMA is still half-way from its (0, 1) init, pre-activations
+        # saturate relu6, and the eval-mode encoder collapses to a constant
+        # function of its input (round-4 verdict: the committed metrics were
+        # exactly the all-collapse table). Recompute exact population moments
+        # over one epoch of train batches before every eval instead.
+        bn_finalize_batches=n_train // batch_size,
         # flagship: 200 512² PNG decodes/epoch on a small-core host dominate
         # wall time — stream later epochs from the uint8 memmap cache
         dataset_cache=os.path.join(ws, "imgcache") if flagship else "",

@@ -268,9 +268,9 @@ class CaptionServer(ThreadingHTTPServer):
                  max_queue: int | None = None):
         self.pipeline = pipeline
         self.cfg = cfg
-        # live Pipelines normalize uint8 on-device (4× smaller host→device
-        # transfer); exported artifacts were traced at float32 and keep the
-        # host-side normalization
+        # live Pipelines and uint8-capable artifacts normalize uint8
+        # on-device (4× smaller host→device transfer); pre-uint8 artifacts
+        # keep the float feed
         self.input_uint8 = bool(getattr(pipeline, "accepts_uint8", False))
         self.batcher = DynamicBatcher(pipeline, batch, max_delay_ms,
                                       decode=decode, sample_seed=sample_seed,

@@ -49,9 +49,11 @@ def exported(tmp_path_factory):
 def test_artifact_layout_and_meta(exported):
     pipeline, served, meta, out_dir = exported
     for fname in ("serving.jaxexport", "sampling.jaxexport",
-                  "sampling_nucleus.jaxexport", "weights.msgpack",
-                  "tokenizer.json", "artifact.json"):
+                  "sampling_nucleus.jaxexport", "serving_u8.jaxexport",
+                  "sampling_u8.jaxexport", "sampling_nucleus_u8.jaxexport",
+                  "weights.msgpack", "tokenizer.json", "artifact.json"):
         assert os.path.exists(os.path.join(out_dir, fname))
+    assert meta["accepts_uint8"] is True and served.accepts_uint8
     assert meta["batch"] == 2 and meta["beam_n"] == 2
     assert meta["image_size"] == IMG
     assert meta["max_seq_len"] == pipeline.max_seq_len
@@ -76,6 +78,34 @@ def test_roundtrip_equals_pipeline(exported):
 
     caps_ref = [pipeline.to_caption(s, n) for s, n in zip(s_ref, l_ref)]
     assert served.caption(imgs) == caps_ref
+
+
+def test_uint8_feed_roundtrip(exported):
+    """The uint8-traced twin programs (VERDICT r4 #4): raw-byte input through
+    the artifact must decode the same sequences as (a) the host-normalized
+    float path through the artifact and (b) the live Pipeline's uint8 feed —
+    so artifact-served deployments keep the 4× transfer cut without drift."""
+    pipeline, served, meta, _ = exported
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (3, IMG, IMG, 3), dtype=np.uint8)
+    as_float = u8.astype(np.float32) / 127.5 - 1.0  # host two-op normalize
+
+    s_u8, l_u8 = served.predict_batch(u8)
+    s_f, l_f = served.predict_batch(as_float)
+    np.testing.assert_array_equal(l_u8, l_f)
+    np.testing.assert_array_equal(s_u8, s_f)
+
+    s_live, l_live = pipeline.predict_batch(u8)
+    np.testing.assert_array_equal(l_u8, l_live)
+    np.testing.assert_array_equal(s_u8, s_live)
+
+    # stochastic leg: same seed, uint8 vs float input, both program twins
+    for top_p in (None, 0.9):
+        s_a, l_a = served.sample_batch(u8, seed=3, temperature=0.8, top_p=top_p)
+        s_b, l_b = served.sample_batch(as_float, seed=3, temperature=0.8,
+                                       top_p=top_p)
+        np.testing.assert_array_equal(l_a, l_b)
+        np.testing.assert_array_equal(s_a, s_b)
 
 
 def test_sampling_roundtrip(exported):

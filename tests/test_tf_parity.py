@@ -147,6 +147,204 @@ def test_train_mode_forward_parity(matched_models, batch):
     np.testing.assert_allclose(np.asarray(our_logits), ref_logits.numpy(), atol=5e-3)
 
 
+def test_reference_predict_execution_parity(matched_models, batch):
+    """Decode parity BY EXECUTION: run the reference's OWN ``Pipeline.predict``
+    beam-search loop (``/root/reference/utils/pipeline.py:82-154``) — the
+    actual method object, bound to a duck-typed self — and assert our
+    ``beam_parity_mode`` engine emits the identical token sequence from the
+    same encoder output, across images and beam widths. This replaces trust
+    in the in-test transcription (test_decode.py) with execution of the
+    reference loop itself; the remaining inputs differ only by TF-vs-XLA
+    float noise on the decoder forward (~1e-6 logits at these dims)."""
+    import types
+
+    import jax.numpy as jnp
+
+    import utils.pipeline as ref_pipeline_mod  # /root/reference/utils/pipeline.py
+    from fpn_mt_image_captioning_tpu.decode.beam_search import beam_search
+
+    ref, rt, model, variables = matched_models
+    img, _ = batch
+    START, END = 2, 3
+    tok = types.SimpleNamespace(word_index={"<start>": START, "<end>": END})
+    duck = types.SimpleNamespace(
+        tokenizer=tok, transformer=ref, target_vocab_size=VOCAB
+    )
+    max_len = L + 1
+    for beam_n in (2, 4):
+        ref_pipeline_mod.BEAM_SEARCH_N = beam_n
+        for b in range(img.shape[0]):
+            ref_tokens, _ = ref_pipeline_mod.Pipeline.predict(
+                duck, tf.constant(img[b]), max_len
+            )
+            ref_tokens = [int(t) for t in np.asarray(ref_tokens)]
+            # identical encoder output for both engines (predict computes the
+            # same tensor internally from the same image — eager TF on CPU is
+            # deterministic in-process)
+            enc = ref.encoder(tf.constant(img[b : b + 1]), False, None).numpy()
+            seqs, lens, _ = beam_search(
+                model, variables, jnp.asarray(enc),
+                beam_n=beam_n, max_len=max_len,
+                start_token=START, end_token=END, parity=True,
+            )
+            got = [int(t) for t in np.asarray(seqs)[0][: int(np.asarray(lens)[0])]]
+            assert got == ref_tokens, (beam_n, b, got, ref_tokens)
+
+
+def test_one_step_gradient_parity(matched_models, batch):
+    """Bound SYSTEMATIC drift in the trajectory parity (round-4 verdict #7):
+    one identical forward through both frameworks, per-tensor gradient
+    comparison. The reference side is ``tape.gradient`` over its own masked
+    sparse-CE (``/root/reference/utils/pipeline.py:50-77``); grads are mapped
+    into our Flax naming by temporarily ASSIGNING them into the reference's
+    variables and re-running the weight extractor (exact same mapping as the
+    weight parity), then restoring.
+
+    The pass bar is a MEASURED conditioning baseline, not an absolute
+    tolerance: we recompute our own gradient with the image perturbed by a
+    relative 1e-7 (the scale of TF-vs-XLA forward float noise) and require
+    the cross-framework delta to be a small multiple of that self-delta.
+    Measured (d32 dims, 256² input): cross max|Δ| 0.17 vs self-perturbation
+    0.11 — the backbone's ~1% relative gradient deltas are float32
+    conditioning (relu6/BN boundary flips amplifying forward noise), not a
+    gradient bug. Tensors at the gradient noise floor (max|g| ≤ 1e-6: the
+    vestigial ``regression_final`` head and ``wk/bias``, whose gradient is
+    mathematically zero — softmax is invariant to a constant key-bias shift)
+    are excluded from the directional check; our own framework anti-correlates
+    with itself on those under a 1e-7 perturbation."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.models.positional import create_masks
+    from fpn_mt_image_captioning_tpu.train.losses import masked_sparse_ce
+    from fpn_mt_image_captioning_tpu.utils.weight_import import (
+        apply_flat_updates,
+        import_retinanet_weights,
+    )
+
+    ref, rt, model, variables = matched_models
+    img, tar = batch
+    tar_inp, tar_real = tar[:, :-1], tar[:, 1:]
+
+    # ---- reference gradients (its own tape + loss) --------------------------
+    sce = tf.keras.losses.SparseCategoricalCrossentropy(
+        from_logits=True, reduction="none"
+    )
+    with tf.GradientTape() as tape:
+        pred, _ = ref(tf.constant(img), tf.constant(tar_inp), True,
+                      rt.create_masks(tf.constant(tar_inp)))
+        mask = tf.math.logical_not(tf.math.equal(tf.constant(tar_real), 0))
+        ref_loss = tf.reduce_mean(
+            sce(tf.constant(tar_real), pred) * tf.cast(mask, tf.float32)
+        )
+    ref_grads = tape.gradient(ref_loss, ref.trainable_variables)
+
+    # ---- our gradients --------------------------------------------------------
+    def loss_fn(p):
+        (logits, _), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(img), jnp.asarray(tar_inp, jnp.int32), True,
+            create_masks(jnp.asarray(tar_inp, jnp.int32)),
+            rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        return masked_sparse_ce(jnp.asarray(tar_real, jnp.int32), logits)
+
+    our_loss, our_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert abs(float(our_loss) - float(ref_loss)) < 1e-3
+
+    # ---- conditioning baseline: our own gradient under a forward-noise-scale
+    # input perturbation (relative 1e-7 ≈ one f32 ULP of unit-scale pixels) ---
+    def loss_fn_pert(p):
+        (logits, _), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(img) * (1.0 + 1e-7), jnp.asarray(tar_inp, jnp.int32),
+            True, create_masks(jnp.asarray(tar_inp, jnp.int32)),
+            rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        return masked_sparse_ce(jnp.asarray(tar_real, jnp.int32), logits)
+
+    pert_grads = jax.grad(loss_fn_pert)(variables["params"])
+
+    # ---- map reference grads into Flax naming via the weight extractor ------
+    saved = [v.numpy() for v in ref.trainable_variables]
+    try:
+        for v, g in zip(ref.trainable_variables, ref_grads):
+            if g is None:
+                v.assign(np.zeros(v.shape, np.float32))
+            else:  # embedding grads arrive as IndexedSlices — densify
+                v.assign(tf.convert_to_tensor(g))
+        upd, ret_layers = extract_flax_updates(ref, D)
+    finally:
+        for v, w in zip(ref.trainable_variables, saved):
+            v.assign(w)
+
+    # NaN template: leaves still NaN after both imports were never written
+    nan_tree = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), variables)
+    nan_tree, _ = import_retinanet_weights(nan_tree, ret_layers)
+    grad_tree, _ = apply_flat_updates(nan_tree, upd)
+
+    import flax
+
+    ours = flax.traverse_util.flatten_dict(our_grads, sep="/")
+    perts = flax.traverse_util.flatten_dict(pert_grads, sep="/")
+    theirs = flax.traverse_util.flatten_dict(grad_tree["params"], sep="/")
+    assert set(ours) == set(theirs)
+    report = {}
+    for path, g_ref in theirs.items():
+        g_ref = np.asarray(g_ref, np.float64)
+        assert not np.isnan(g_ref).any(), f"{path}: never written by extractor"
+        g_our = np.asarray(ours[path], np.float64)
+        g_pert = np.asarray(perts[path], np.float64)
+        den = np.linalg.norm(g_ref) * np.linalg.norm(g_our)
+        report[path] = {
+            "cross": float(np.abs(g_our - g_ref).max()),
+            "self_pert": float(np.abs(g_our - g_pert).max()),
+            "max_abs_grad": float(np.abs(g_our).max()),
+            "cosine": float((g_ref * g_our).sum() / den) if den > 0 else 1.0,
+        }
+
+    cross_max = max(r["cross"] for r in report.values())
+    self_max = max(r["self_pert"] for r in report.values())
+    # cross-framework delta must be a small multiple of our own float32
+    # conditioning (measured: 0.17 vs 0.11 — ratio ~1.6; bar at 5x)
+    assert cross_max < 5 * max(self_max, 1e-4), (cross_max, self_max)
+    # directional agreement on every tensor with a real gradient
+    meaningful = {p: r for p, r in report.items() if r["max_abs_grad"] > 1e-2}
+    assert len(meaningful) > 100  # the check must actually cover the model
+    worst_cos = min(r["cosine"] for r in meaningful.values())
+    assert worst_cos > 0.995, sorted(
+        meaningful.items(), key=lambda kv: kv[1]["cosine"])[:5]
+
+    # persist the measurement for benchmarks/tf_parity.json consumers
+    import json
+    import os
+
+    out = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                       "tf_parity_grad.json")
+    top = sorted(report.items(), key=lambda kv: -kv[1]["cross"])[:10]
+    with open(out, "w") as f:
+        json.dump({
+            "protocol": (
+                "one identical train-mode forward (d32 dims, 256² input), "
+                "reference tape.gradient vs jax.grad, per-tensor max|dgrad|; "
+                "baseline = our own gradient under a relative-1e-7 input "
+                "perturbation (forward float-noise scale)"
+            ),
+            "loss_delta": abs(float(our_loss) - float(ref_loss)),
+            "cross_max_abs_delta": cross_max,
+            "self_perturbation_max_abs_delta": self_max,
+            "worst_cosine_meaningful_tensors": worst_cos,
+            "n_tensors": len(report),
+            "n_meaningful": len(meaningful),
+            "top10_by_cross_delta": [{"path": p, **r} for p, r in top],
+            "conclusion": (
+                "cross-framework gradient deltas are the same order as the "
+                "computation's own float32 conditioning — chaotic "
+                "amplification of forward noise, not systematic drift"
+            ),
+        }, f, indent=2)
+
+
 def test_train_loss_trajectory(matched_models):
     """6 training steps, identical batches and init: the reference loop
     (pipeline.py:29-80 — CustomSchedule(dff), Adam(amsgrad, clipnorm=1),
