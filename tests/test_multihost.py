@@ -197,8 +197,9 @@ def test_two_process_distributed_runtime(tmp_path):
 _EVAL_WORKER = r"""
 import os, sys, json
 pid = int(sys.argv[1]); port = sys.argv[2]; root = sys.argv[3]
+nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + port
-os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
 os.environ["JAX_PROCESS_ID"] = str(pid)
 import numpy as np
 from fpn_mt_image_captioning_tpu.config import Config, MeshConfig
@@ -217,12 +218,13 @@ cfg = Config(
     compute_dtype="float32", decode_batch=2,
     mesh=MeshConfig(enabled=True),
 )
-# UNEVEN per-process shards (17 -> 9 + 8; the decode batch rounds up to the
-# 8-wide data axis, so p0 runs TWO decode calls and p1 runs one + one DUMMY —
-# exercising the lockstep protocol in Pipeline._evaluate_multihost)
+# UNEVEN per-process shards (2 procs: 17 -> 9 + 8; 4 procs: 17 -> 5/4/4/4; the
+# decode batch rounds up to the 8-wide data axis, so shards need DIFFERENT
+# numbers of decode calls and the short ones run DUMMY batches — exercising
+# the lockstep protocol in Pipeline._evaluate_multihost)
 val = COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, 17,
                           image_size=256, seed=0,
-                          shard_count=2, shard_index=pid)
+                          shard_count=nproc, shard_index=pid)
 max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
 pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
                     max_seq_len, config=cfg)
@@ -232,13 +234,11 @@ print(json.dumps({"pid": pid, "n_local": len(val.imgIds),
 """
 
 
-@pytest.mark.slow
-def test_two_process_sharded_decode_matches_single_host(tmp_path):
-    """END-TO-END multi-host EVAL (VERDICT r3 item 4): 2 jax.distributed
-    processes decode UNEVEN per-process val shards in lockstep over a global
-    8-device mesh and reassemble via gather_rows — both processes must report
-    the identical global result list, and it must equal a single-host eval of
-    the same corpus with the same weights."""
+def _run_sharded_eval(tmp_path, nproc, devices_per_proc, timeout):
+    """Launch ``nproc`` jax.distributed eval workers over a global 8-device
+    mesh, assert every process reports the identical reassembled result list,
+    and return (per-process local shard sizes, global results, cfg,
+    max_seq_len)."""
     import os
     import socket
     import subprocess
@@ -250,7 +250,6 @@ def test_two_process_sharded_decode_matches_single_host(tmp_path):
     make_synthetic_dataset(str(root / "data"), n_train=4, n_val=20, image_size=256)
     from fpn_mt_image_captioning_tpu.config import Config, MeshConfig
     from fpn_mt_image_captioning_tpu.data.dataset import (
-        COCO_Images_ImageID,
         get_coco_images_dataset,
         store_additional_info,
     )
@@ -278,21 +277,23 @@ def test_two_process_sharded_decode_matches_single_host(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=4 "
+        f"--xla_force_host_platform_device_count={devices_per_proc} "
         "--xla_cpu_collective_timeout_seconds=600 "
         "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
         "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
     )
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
-        subprocess.Popen([_sys.executable, str(worker), str(pid), port, str(root)],
+        subprocess.Popen([_sys.executable, str(worker), str(pid), port,
+                          str(root), str(nproc)],
                          env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True)
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
-    # 1200 s: cold worker compiles under 1-core suite contention (see the
-    # training test above); warm runs are fast via the inherited cache
-    outs = [p.communicate(timeout=1200) for p in procs]
+    # generous timeout: cold worker compiles under 1-core suite contention
+    # measured up to ~600 s (VERDICT r3 weak #1); warm runs finish in well
+    # under 60 s via the inherited JAX_COMPILATION_CACHE_DIR
+    outs = [p.communicate(timeout=timeout) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-3000:]
 
@@ -303,13 +304,17 @@ def test_two_process_sharded_decode_matches_single_host(tmp_path):
         return _json.loads(line)
 
     reports = sorted((report(out) for out, _ in outs), key=lambda r: r["pid"])
-    # uneven shards: 17 images -> 9 on p0, 8 on p1 (2 vs 1 decode batches)
-    assert (reports[0]["n_local"], reports[1]["n_local"]) == (9, 8)
-    r0, r1 = reports[0]["results"], reports[1]["results"]
-    assert r0 == r1, "global result list must be identical on every process"
-    assert len(r0) == 17
+    shards = tuple(r["n_local"] for r in reports)
+    results = reports[0]["results"]
+    for r in reports[1:]:
+        assert r["results"] == results, \
+            "global result list must be identical on every process"
+    assert len(results) == 17
+    return shards, results, cfg, max_seq_len
 
-    # ---- single-host reference on the same corpus + same (seeded) weights ----
+
+def _single_host_eval(cfg, max_seq_len):
+    from fpn_mt_image_captioning_tpu.data.dataset import COCO_Images_ImageID
     from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 
     val = COCO_Images_ImageID(cfg.datadir, cfg.datatype_val, 17,
@@ -317,10 +322,42 @@ def test_two_process_sharded_decode_matches_single_host(tmp_path):
     pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
                         max_seq_len, config=cfg)
     try:
-        expected = pipeline.evaluate(iter(val))
+        return pipeline.evaluate(iter(val))
     finally:
         pipeline.close()
-    assert sorted(r0, key=lambda r: r["image_id"]) == sorted(
+
+
+@pytest.mark.slow
+def test_two_process_sharded_decode_matches_single_host(tmp_path):
+    """END-TO-END multi-host EVAL (VERDICT r3 item 4): 2 jax.distributed
+    processes decode UNEVEN per-process val shards in lockstep over a global
+    8-device mesh and reassemble via gather_rows — both processes must report
+    the identical global result list, and it must equal a single-host eval of
+    the same corpus with the same weights."""
+    shards, results, cfg, max_seq_len = _run_sharded_eval(
+        tmp_path, nproc=2, devices_per_proc=4, timeout=1200
+    )
+    # uneven shards: 17 images -> 9 on p0, 8 on p1 (2 vs 1 decode batches)
+    assert shards == (9, 8)
+    expected = _single_host_eval(cfg, max_seq_len)
+    assert sorted(results, key=lambda r: r["image_id"]) == sorted(
+        expected, key=lambda r: r["image_id"]
+    )
+
+
+@pytest.mark.slow
+def test_four_process_sharded_decode_matches_single_host(tmp_path):
+    """4-process uneven-shard eval (VERDICT r4 item 8): gather_rows must
+    reassemble 5/4/4/4 shards from FOUR processes (2 virtual devices each =
+    the same global 8-device mesh) and the lockstep dummy-batch gate must hold
+    beyond the pairwise case — p0 needs 3 decode calls (5 rows at local share
+    2), the rest need 2 + one dummy."""
+    shards, results, cfg, max_seq_len = _run_sharded_eval(
+        tmp_path, nproc=4, devices_per_proc=2, timeout=1800
+    )
+    assert shards == (5, 4, 4, 4)
+    expected = _single_host_eval(cfg, max_seq_len)
+    assert sorted(results, key=lambda r: r["image_id"]) == sorted(
         expected, key=lambda r: r["image_id"]
     )
 
