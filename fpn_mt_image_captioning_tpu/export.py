@@ -306,6 +306,9 @@ class ExportedServing:
         self._call = jax.jit(self._exported.call)
         self.batch = int(self.meta["batch"])
         self.image_size = int(self.meta["image_size"])
+        # Pipeline-API parity: callers (serve.py /stats, load harnesses)
+        # report the vocab width without reaching into .meta
+        self.target_vocab_size = int(self.meta["target_vocab_size"])
         # uint8-input twin programs (artifacts exported before the uint8 feed
         # carry float-only programs — accepts_uint8 stays False and serving
         # surfaces fall back to the float feed)

@@ -18,9 +18,13 @@ reclaim.
 
 Run:  timeout 3600 python scripts/serve_load_tpu.py \
           [--n 512] [--concurrency 64] [--serve_batch 32] \
-          [--max_delay_ms 50] [--decode beam|sample]
+          [--max_delay_ms 50] [--decode beam|sample] [--artifact]
 
-Writes ``benchmarks/serving_http_<backend>.json``.
+``--artifact`` freezes the pipeline into a compiled export.py artifact and
+serves the loaded artifact instead — measuring the `serve.py --artifact=DIR`
+deployment path (incl. its uint8-input twin programs).
+
+Writes ``benchmarks/serving_http_<backend>_<decode>[_artifact].json``.
 """
 
 from __future__ import annotations
@@ -82,6 +86,10 @@ def main() -> None:
     ap.add_argument("--serve_batch", type=int, default=32)
     ap.add_argument("--max_delay_ms", type=float, default=50.0)
     ap.add_argument("--decode", default="beam", choices=("beam", "sample"))
+    ap.add_argument("--artifact", action="store_true",
+                    help="export a compiled serving artifact from the "
+                         "pipeline and serve THAT (the deployment path of "
+                         "serve.py --artifact=DIR) instead of the live model")
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: micro model/corpus, n=8")
@@ -137,6 +145,25 @@ def main() -> None:
                         max_seq_len=12 if args.tiny else 60, config=cfg)
     print(f"pipeline ready (init compile) in {time.perf_counter() - t0:.1f}s",
           flush=True)
+
+    if args.artifact:
+        # measure the DEPLOYED path: freeze the pipeline into a compiled
+        # StableHLO artifact (uint8-input twin programs included) and serve
+        # the loaded artifact — exactly what `serve.py --artifact=DIR` runs
+        from fpn_mt_image_captioning_tpu.export import (
+            export_serving,
+            load_serving,
+        )
+
+        art_dir = os.path.join(ws, "artifact")
+        t0 = time.perf_counter()
+        export_serving(pipeline, art_dir, batch=args.serve_batch,
+                       sample=args.decode == "sample")
+        print(f"artifact exported in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        pipeline.close()
+        pipeline = load_serving(art_dir)
+        cfg = pipeline.apply_to_config(cfg)
 
     srv = serve.make_server(cfg, port=0, serve_batch=args.serve_batch,
                             max_delay_ms=args.max_delay_ms, pipeline=pipeline,
@@ -222,6 +249,7 @@ def main() -> None:
         # environment that transfer dominates the device-batch window
         # (colocated-host PCIe would make it negligible — compare bench.py's
         # on-device slope for the compute-only number)
+        "served_from": "artifact" if args.artifact else "live_pipeline",
         "uint8_feed": srv.input_uint8,
         "batch_upload_mb": round(
             args.serve_batch * args.image_size**2 * 3
@@ -232,8 +260,10 @@ def main() -> None:
     print(json.dumps(result), flush=True)
     # --tiny is a smoke test: report, but don't overwrite committed evidence
     out_dir = os.path.join(REPO, "benchmarks") if not args.tiny else ws
+    suffix = "_artifact" if args.artifact else ""
     out = os.path.join(
-        out_dir, f"serving_http_{jax.default_backend()}_{args.decode}.json"
+        out_dir,
+        f"serving_http_{jax.default_backend()}_{args.decode}{suffix}.json",
     )
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
