@@ -24,6 +24,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import functools
+import itertools
 import math
 import os
 from typing import Any, NamedTuple
@@ -346,34 +347,73 @@ class Pipeline:
         (real COCO stats) never need it, and their momentum path is untouched.
 
         ``batches``: iterable of image batches or ``(image, caption)`` pairs
-        (uint8 or float). Batches whose leading dim differs from the first
-        used batch are skipped (tail batches — they'd force a second compile
-        and, multi-process, desync the lockstep collective). Returns the
-        number of batches used; 0 (no-op) if the model has no BN.
+        (uint8 or float). Rows are re-chunked host-side into equal-size device
+        batches of a fixed shape (one compile, no zero-row padding): the chunk
+        is the first batch's size trimmed down to a multiple of the local
+        data-axis share (or one share, when batches are smaller). Under a mesh
+        this also means batch sizes that do NOT divide the data axis still
+        contribute — the earlier skip-padded-batches rule silently finalized
+        over ZERO batches for e.g. batch_size=10 on an 8-wide data axis,
+        resurrecting the eval collapse this pass exists to fix.
+
+        Multi-process, every process must issue the same number of collective
+        device calls or the mesh programs deadlock: local chunks are
+        materialized first (bounded by ``n_batches`` — keep it modest, the
+        rows sit in host RAM), counts are aligned on the global minimum, and
+        only then do the lockstep device calls run.
+
+        Returns the number of device batches used; 0 (no-op) if the model has
+        no BN or the data yields fewer rows than one chunk on some process.
         """
         if not self.state.batch_stats:
             return 0
-        per_batch: list = []
-        lead = None
-        for item in batches:
-            img = item[0] if isinstance(item, (tuple, list)) else item
-            img = np.asarray(img)
-            if lead is None:
-                lead = img.shape[0]
-            if img.shape[0] != lead:
-                continue
-            if self.mesh is not None:
-                padded, pad = self._pad_batch(img)
-                if pad:  # zero rows would pollute the population moments
+        share = self._local_data_share if self.mesh is not None else 1
+        chunk = None
+
+        def iter_chunks():
+            nonlocal chunk
+            buf: list = []
+            buffered = 0
+            for item in batches:
+                img = item[0] if isinstance(item, (tuple, list)) else item
+                img = np.asarray(img)
+                if img.shape[0] == 0:
                     continue
-                img = padded
+                if chunk is None:
+                    chunk = max(share, img.shape[0] // share * share)
+                buf.append(img)
+                buffered += img.shape[0]
+                while buffered >= chunk:
+                    rows = np.concatenate(buf) if len(buf) > 1 else buf[0]
+                    yield rows[:chunk]
+                    rest = rows[chunk:]
+                    buf = [rest] if rest.shape[0] else []
+                    buffered = rest.shape[0]
+
+        chunks = iter_chunks()
+        if n_batches is not None:
+            chunks = itertools.islice(chunks, n_batches)
+
+        per_batch: list = []
+
+        def emit(rows):
             stats = self._mp_call(
                 self._bn_stats_fn, "bn_stats", self.variables,
-                self._globalize_images(img),
+                self._globalize_images(rows),
             )
             per_batch.append(jax.device_get(stats))
-            if n_batches is not None and len(per_batch) >= n_batches:
-                break
+
+        if jax.process_count() > 1:
+            from ..parallel.multihost import barrier, gather_rows
+
+            local = list(chunks)
+            barrier("bn_finalize_count")
+            counts = gather_rows(np.asarray([len(local)], np.int32))
+            for rows in local[: int(counts.min())]:
+                emit(rows)
+        else:
+            for rows in chunks:
+                emit(rows)
         if not per_batch:
             return 0
         self.state = self.state._replace(

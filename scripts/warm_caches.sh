@@ -40,11 +40,18 @@ echo "[warm] === probe $(date) ==="
 probe || { echo "[warm] PROBE_FAILED"; exit 1; }
 
 echo "[warm] === bench $(date) ==="
+bench_ok=0
 for i in 1 2 3; do
-  timeout 4500 python bench.py && break
+  if timeout 4500 python bench.py; then bench_ok=1; break; fi
   echo "[warm] bench attempt $i failed rc=$? $(date)"
   probe || exit 1
 done
+if [[ $bench_ok -ne 1 ]]; then
+  # chained jobs key on BENCH_WARM_DONE — a false marker would launch them
+  # against a cold cache, the multi-hour scenario this chain exists to avoid
+  echo "[warm] BENCH_WARM_FAILED $(date)"
+  exit 1
+fi
 echo "[warm] BENCH_WARM_DONE $(date)"
 
 if [[ "${1:-}" == "--with-dryrun" ]]; then

@@ -28,7 +28,14 @@ def exported(tmp_path_factory):
         additional_filename=str(root / "_additional.json"),
         transformer_checkpoint_path=str(root / "ckpt"),
         result_dir=str(root / "results"),
-        compute_dtype="float32", decode_batch=2,
+        # bfloat16 = the production serving dtype, and the dtype at which
+        # uint8-vs-float input equality is PINNED (CLAUDE.md r4: XLA may fuse
+        # x/127.5-1 into an FMA, up to 2 f32 ULPs vs the host two-op path —
+        # identical only after the bf16 cast, verified over all 256 values).
+        # At float32 test_uint8_feed_roundtrip would be a latent near-tie
+        # flake; every other assert here compares same-program outputs and is
+        # dtype-agnostic.
+        compute_dtype="bfloat16", decode_batch=2,
     )
     from fpn_mt_image_captioning_tpu.data.dataset import get_coco_images_dataset
     from fpn_mt_image_captioning_tpu.export import export_serving, load_serving

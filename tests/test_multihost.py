@@ -394,7 +394,13 @@ pipeline = Pipeline(cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
                     max_seq_len, config=cfg)
 assert pipeline.mesh is not None and pipeline.mesh.devices.size == 8
 losses = [pipeline.train_step(img, cap) for img, cap in batches * 2]
-print(json.dumps({"pid": pid, "losses": losses,
+# BN finalization with UNEVEN local chunk counts: local share is 4 (8-wide
+# data axis / 2 processes) and local batches carry 2 rows, so p0's 8 rows
+# yield 2 chunks while p1's 4 rows yield 1 — the collective call counts MUST
+# be aligned on the global minimum (1) or the mesh programs deadlock here
+# (each bn_stats launch is a lockstep collective under jax.distributed)
+used = pipeline.finalize_batch_stats(iter(batches * (4 if pid == 0 else 2)))
+print(json.dumps({"pid": pid, "losses": losses, "bn_used": used,
                   "step": int(pipeline.state.step)}))
 """
 
@@ -466,3 +472,5 @@ def test_two_process_sharded_training(tmp_path):
     assert len(l0) == 2 and all(np.isfinite(l0))
     assert l0 == l1  # replicated global-batch loss: identical on both hosts
     assert reports[0]["step"] == reports[1]["step"] == 2
+    # uneven finalize inputs (2 chunks vs 1) settle on the aligned minimum
+    assert reports[0]["bn_used"] == reports[1]["bn_used"] == 1

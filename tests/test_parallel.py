@@ -317,5 +317,15 @@ def test_mesh_enabled_pipeline_end_to_end(tmp_path):
             pipeline.config = cfg0
         np.testing.assert_array_equal(whole_s, chunk_s)
         np.testing.assert_array_equal(whole_l, chunk_l)
+
+        # BN finalization under the mesh with batch_size=3 NOT dividing the
+        # 4-wide data axis: rows must be re-chunked host-side and contribute
+        # (the earlier skip-padded-batches rule finalized over ZERO batches
+        # here — the round-4 eval collapse silently back in force for any
+        # mesh whose data axis doesn't divide the batch)
+        used = pipeline.finalize_batch_stats(iter(dataset))
+        assert used >= 1  # 6 rows -> one 4-row chunk (+2 leftover dropped)
+        stats = jax.tree.leaves(pipeline.state.batch_stats)
+        assert all(np.isfinite(np.asarray(s)).all() for s in stats)
     finally:
         pipeline.close()
