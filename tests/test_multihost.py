@@ -400,7 +400,11 @@ losses = [pipeline.train_step(img, cap) for img, cap in batches * 2]
 # be aligned on the global minimum (1) or the mesh programs deadlock here
 # (each bn_stats launch is a lockstep collective under jax.distributed)
 used = pipeline.finalize_batch_stats(iter(batches * (4 if pid == 0 else 2)))
+# degenerate edge: one process yields ZERO chunks -> global minimum is 0 and
+# BOTH processes must return 0 (aligned no-op), not deadlock or diverge
+used_zero = pipeline.finalize_batch_stats(iter(batches if pid == 0 else []))
 print(json.dumps({"pid": pid, "losses": losses, "bn_used": used,
+                  "bn_used_zero": used_zero,
                   "step": int(pipeline.state.step)}))
 """
 
@@ -474,3 +478,5 @@ def test_two_process_sharded_training(tmp_path):
     assert reports[0]["step"] == reports[1]["step"] == 2
     # uneven finalize inputs (2 chunks vs 1) settle on the aligned minimum
     assert reports[0]["bn_used"] == reports[1]["bn_used"] == 1
+    # zero chunks on one process -> aligned no-op on every process
+    assert reports[0]["bn_used_zero"] == reports[1]["bn_used_zero"] == 0
