@@ -28,7 +28,7 @@ import numpy as np
 
 from fpn_mt_image_captioning_tpu.config import Config
 from fpn_mt_image_captioning_tpu.data.dataset import (
-    load_additional_info,
+    load_max_seq_len,
     load_image_batch,
 )
 from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
@@ -101,7 +101,7 @@ def main(
     files = list_images(images_path)
     owns_pipeline = pipeline is None
     if owns_pipeline:
-        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        max_seq_len = load_max_seq_len(cfg.additional_filename)
         pipeline = Pipeline(
             cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
         )

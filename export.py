@@ -46,12 +46,12 @@ def main(argv: list[str]) -> None:
                          "[--sample] [--verify] [config overrides]")
 
     from fpn_mt_image_captioning_tpu.config import Config
-    from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info
+    from fpn_mt_image_captioning_tpu.data.dataset import load_max_seq_len
     from fpn_mt_image_captioning_tpu.export import export_serving, load_serving
     from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 
     cfg = Config.from_flags(passthrough)
-    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    max_seq_len = load_max_seq_len(cfg.additional_filename)
     pipeline = Pipeline(
         cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
     )
@@ -93,6 +93,28 @@ def main(argv: list[str]) -> None:
             print(f"verify: artifact bitwise == direct jit of the exported program: {ok}")
             if not ok:
                 raise SystemExit("verification FAILED")
+
+            # the uint8 TWIN (serving_u8.jaxexport) is the blob production
+            # traffic actually rides (serve.py ships raw bytes whenever
+            # accepts_uint8) — it is a distinct serialized program, so the
+            # float check above says nothing about it. Same single-traced-fn
+            # comparison: normalize_images switches on input dtype at trace
+            # time, so jitting serve_fn on uint8 input IS the twin's program.
+            u8_imgs = rng.integers(
+                0, 256,
+                (meta["batch"], meta["image_size"], meta["image_size"], 3),
+                dtype=np.uint8,
+            )
+            if meta.get("accepts_uint8"):
+                s_ref8, l_ref8 = jax.jit(serve_fn)(
+                    pipeline.variables, jnp.asarray(u8_imgs)
+                )
+                s_art8, l_art8 = served.predict_batch(u8_imgs)
+                ok = bool(np.array_equal(np.asarray(s_ref8), s_art8)
+                          and np.array_equal(np.asarray(l_ref8), l_art8))
+                print(f"verify: uint8 twin bitwise == direct jit: {ok}")
+                if not ok:
+                    raise SystemExit("uint8-twin verification FAILED")
             if sample:
                 from fpn_mt_image_captioning_tpu.export import build_sampling_fn
 
@@ -138,6 +160,22 @@ def main(argv: list[str]) -> None:
                       f"direct jit: {ok}")
                 if not ok:
                     raise SystemExit("plain-sampling verification FAILED")
+
+                # uint8 twin of the nucleus sampler (sampling_nucleus_u8):
+                # serve.py --decode=sample ships raw bytes too
+                if meta.get("accepts_uint8"):
+                    s_ref, l_ref = jax.jit(fn)(
+                        pipeline.variables, jnp.asarray(u8_imgs), jnp.int32(7),
+                        jnp.asarray(temps), jnp.asarray(tps),
+                    )
+                    s_art, l_art = served.sample_batch(
+                        u8_imgs, seed=7, temperature=temps, top_p=tps
+                    )
+                    ok = bool(np.array_equal(np.asarray(s_ref), s_art)
+                              and np.array_equal(np.asarray(l_ref), l_art))
+                    print(f"verify: uint8 sampling twin bitwise == direct jit: {ok}")
+                    if not ok:
+                        raise SystemExit("uint8-sampling verification FAILED")
     finally:
         pipeline.close()
 

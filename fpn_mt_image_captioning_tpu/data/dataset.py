@@ -55,6 +55,7 @@ __all__ = [
     "COCO_Images_ImageID",
     "store_additional_info",
     "load_additional_info",
+    "load_max_seq_len",
     "calc_max_length",
 ]
 
@@ -63,9 +64,12 @@ def calc_max_length(tensor) -> int:
     return max(len(t) for t in tensor)
 
 
-def load_image(img_path: str, caption=None, image_size: int = 512,
+def load_image(img_path, caption=None, image_size: int = 512,
                as_uint8: bool = False):
     """Decode → RGB → resize to (size, size) bilinear → scale to [-1, 1].
+
+    ``img_path`` is a filesystem path or any file-like object PIL can open
+    (serve.py feeds HTTP bodies through ``io.BytesIO``).
 
     Mirrors reference ``load_image`` (``dataset.py:19-26``: decode_jpeg,
     ``tf.image.resize`` default bilinear, MobileNetV2 ``preprocess_input``).
@@ -212,10 +216,17 @@ class DecodedImageCache:
                 self.bin_path, dtype=np.uint8, mode="r", shape=self.shape
             )
 
-    def read(self, idxs: list[int]) -> np.ndarray:
-        """Batch of images as float32 in [-1, 1] (same formula as decode)."""
+    def read(self, idxs: list[int], as_uint8: bool = False) -> np.ndarray:
+        """Batch of images as float32 in [-1, 1] (same formula as decode).
+
+        ``as_uint8=True`` returns the stored bytes directly — no host-side
+        inflation pass and 4× fewer bytes to the device; the model normalizes
+        on-device (``models.layers.normalize_images``)."""
         self.ensure()
-        return self._mm[idxs].astype(np.float32) / 127.5 - 1.0
+        raw = self._mm[idxs]
+        if as_uint8:
+            return np.ascontiguousarray(raw)
+        return raw.astype(np.float32) / 127.5 - 1.0
 
 
 class _Prefetcher:
@@ -286,11 +297,11 @@ class _Prefetcher:
                 raise self._errbox[0]
             raise StopIteration
         return item
-        return item
 
 
 class CocoCaptionDataset:
-    """Iterable of ``(images [B,S,S,3] f32, captions [B,L] i32)`` batches.
+    """Iterable of ``(images [B,S,S,3] f32 — or uint8 with ``as_uint8=True``,
+    normalized on-device — captions [B,L] i32)`` batches.
 
     Equivalent of the reference's
     ``from_tensor_slices → map(load_image) → shuffle(1000) → batch(10) → prefetch``
@@ -310,6 +321,7 @@ class CocoCaptionDataset:
         shard_index: int = 0,
         num_workers: int = 16,
         cache_path: str | None = None,
+        as_uint8: bool = False,
     ):
         assert len(img_paths) == len(captions_token)
         if shard_count > 1:
@@ -328,6 +340,7 @@ class CocoCaptionDataset:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.num_workers = num_workers
+        self.as_uint8 = as_uint8
         self._epoch = 0
         self._cache = None
         if cache_path:
@@ -365,12 +378,13 @@ class CocoCaptionDataset:
                 if self.drop_remainder and len(idxs) < self.batch_size:
                     break
                 if self._cache is not None:
-                    imgs = self._cache.read(idxs)
+                    imgs = self._cache.read(idxs, as_uint8=self.as_uint8)
                 else:
                     imgs = load_image_batch(
                         [self.img_paths[i] for i in idxs],
                         self.image_size,
                         self.num_workers,
+                        as_uint8=self.as_uint8,
                     )
                 yield imgs, self.captions_token[idxs]
 
@@ -438,6 +452,11 @@ def get_coco_images_dataset(
         cache_path=cfg.dataset_cache or None,
         shard_count=shard_count,
         shard_index=shard_index,
+        # raw uint8 rows: the train forward normalizes on-device
+        # (models/transformer.py:185 → normalize_images), so the host skips
+        # a float-inflation pass and ships 4× fewer bytes per step — the
+        # same measured win the r4 uint8 feed bought serve/caption/eval
+        as_uint8=True,
     )
     return dataset, max_seq_len, set_len
 
@@ -549,8 +568,32 @@ def store_additional_info(d: dict, filename: str) -> None:
 
 
 def load_additional_info(filename: str) -> dict:
+    """Run-metadata sidecar (max_seq_len, best-CIDEr epoch, ...). A MISSING
+    file returns ``{}`` — the legitimate first-run state train.py starts
+    from — but an unreadable or corrupt file RAISES with the path: collapsing
+    both to ``{}`` used to surface as a bare downstream ``KeyError:
+    'max_seq_len'`` with the actual cause unrecoverable."""
     try:
         with open(filename) as infile:
             return json.load(infile)
-    except (OSError, json.JSONDecodeError):
+    except FileNotFoundError:
         return {}
+    except (OSError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"additional-info file unreadable or corrupt: {filename!r} ({e})"
+        ) from e
+
+
+def load_max_seq_len(filename: str) -> int:
+    """The tokenized-caption length the model was built for, from the
+    additional-info sidecar — with a clear error naming the path when the
+    training run hasn't written it (serve.py/caption.py/test.py/export.py all
+    need it before they can build a pipeline)."""
+    info = load_additional_info(filename)
+    if "max_seq_len" not in info:
+        raise FileNotFoundError(
+            f"no max_seq_len in additional-info file {filename!r} — train.py "
+            "(or get_coco_images_dataset) writes it; pass the same "
+            "--additional_filename the training run used"
+        )
+    return int(info["max_seq_len"])

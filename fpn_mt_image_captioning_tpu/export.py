@@ -149,13 +149,23 @@ def _pad_chunk(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
 def fold_chunk_seed(seed: int, chunk: int) -> int:
     """Per-chunk PRNG seed for host-side chunked sampling. Chunk 0 keeps
     ``seed`` exactly (single-chunk calls stay bit-equal to the live pipeline's
-    ``PRNGKey(seed)`` program); later chunks stride by a large prime so a
-    caller issuing CONSECUTIVE per-batch seeds (serve.py's batcher) can never
-    reuse a chunk key across batches — the old ``seed + chunk`` fold collided
-    (batch N's chunk 1 == batch N+1's chunk 0 → identical 'random' captions).
-    Result is wrapped into int32 range for the exported scalar-seed input."""
-    v = int(seed) + chunk * 1_000_003
-    return (v + 2**31) % 2**32 - 2**31
+    ``PRNGKey(seed)`` program); later chunks run (seed, chunk) through a
+    splitmix32-style avalanche so key reuse between a caller issuing
+    CONSECUTIVE per-batch seeds (serve.py's batcher) and any chunk index is a
+    ~2⁻³² random event rather than a STRUCTURED certainty — the earlier
+    ``seed + chunk`` fold collided at batch N+1 (chunk 1 of batch N == chunk 0
+    of batch N+1), and its ``+ chunk·prime`` successor merely moved the exact
+    same collision out to batch N+1_000_003. (A 32-bit seed input can never
+    make reuse impossible; it can only make it unstructured.) Result is
+    wrapped into int32 range for the exported scalar-seed input."""
+    if chunk == 0:
+        v = int(seed) & 0xFFFFFFFF
+        return v - 2**32 if v >= 2**31 else v
+    x = (int(seed) & 0xFFFFFFFF) ^ ((0x9E3779B9 * chunk) & 0xFFFFFFFF)
+    x = ((x ^ (x >> 16)) * 0x85EBCA6B) & 0xFFFFFFFF
+    x = ((x ^ (x >> 13)) * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x - 2**32 if x >= 2**31 else x
 
 
 def export_serving(pipeline, out_dir: str, batch: int | None = None,
@@ -370,8 +380,18 @@ class ExportedServing:
         smaller transfer) when the artifact carries one; anything else is
         float-path. Returns ``(images, call)`` (for sampling, ``call`` is the
         {plain, nucleus} suffix key instead)."""
-        u8 = (np.asarray(images).dtype == np.uint8) and self.accepts_uint8
-        images = np.asarray(images, np.uint8 if u8 else np.float32)
+        arr = np.asarray(images)
+        u8 = arr.dtype == np.uint8
+        if u8 and not self.accepts_uint8:
+            # pre-uint8 artifact: its only program expects [-1, 1] float — a
+            # bare float cast would feed raw 0..255 and silently emit garbage
+            # captions. The live Pipeline accepts raw uint8 (on-device
+            # normalize), so keep the duck-type contract by normalizing
+            # host-side here.
+            images = arr.astype(np.float32) / 127.5 - 1.0
+            u8 = False
+        else:
+            images = np.asarray(arr, np.uint8 if u8 else np.float32)
         if images.shape[0] == 0:
             raise ValueError("empty batch (need at least 1 image)")
         if images.shape[1:] != (self.image_size, self.image_size, 3):

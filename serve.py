@@ -66,7 +66,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from fpn_mt_image_captioning_tpu.config import Config
-from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info
+from fpn_mt_image_captioning_tpu.data.dataset import load_max_seq_len
 from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 from fpn_mt_image_captioning_tpu.utils.profiling import StepTimer
 
@@ -74,25 +74,18 @@ from fpn_mt_image_captioning_tpu.utils.profiling import StepTimer
 def decode_image_bytes(data: bytes, image_size: int,
                        as_uint8: bool = False) -> np.ndarray:
     """Decode → RGB → bilinear resize → [-1, 1] float32 (HTTP-body variant of
-    ``data/dataset.py:load_image`` — same semantics, in-memory source).
+    ``data/dataset.py:load_image``, which accepts the in-memory source
+    directly — one implementation, not a parallel copy to keep in lockstep).
 
     ``as_uint8=True`` returns the resized uint8 pixels instead — the live
     Pipeline normalizes them on-device (``models.layers.normalize_images``),
     and the host→device batch transfer shrinks 4× (the measured serving
-    bottleneck, benchmarks/serving_http_tpu_beam.json). PIL's resize emits
-    uint8 either way; the on-device ``x/127.5 - 1`` lands within one
-    unit-scale f32 ULP of the host path (identical in bf16 — see
-    models/layers.py:normalize_images)."""
-    from PIL import Image
+    bottleneck, benchmarks/serving_http_tpu_beam.json)."""
+    from fpn_mt_image_captioning_tpu.data.dataset import load_image
 
-    with Image.open(io.BytesIO(data)) as im:
-        im = im.convert("RGB")
-        if im.size != (image_size, image_size):
-            im = im.resize((image_size, image_size), Image.BILINEAR)
-        if as_uint8:
-            return np.asarray(im, dtype=np.uint8)
-        arr = np.asarray(im, dtype=np.float32)
-    return arr / 127.5 - 1.0
+    arr, _ = load_image(io.BytesIO(data), image_size=image_size,
+                        as_uint8=as_uint8)
+    return arr
 
 
 class QueueFull(RuntimeError):
@@ -110,12 +103,11 @@ class DynamicBatcher:
     """
 
     def __init__(self, pipeline: Pipeline, batch: int, max_delay_ms: float,
-                 beam_n: int | None = None, decode: str = "beam",
+                 decode: str = "beam",
                  sample_seed: int = 0, max_queue: int | None = None):
         self.pipeline = pipeline
         self.batch = batch
         self.max_delay_s = max_delay_ms / 1000.0
-        self.beam_n = beam_n
         self.decode = decode
         self.sample_seed = sample_seed
         # backpressure: beyond this many queued images, submit() raises
@@ -193,14 +185,18 @@ class DynamicBatcher:
                 # timing/counters go to the OLD generation's timer/stats and
                 # never pollute the freshly zeroed window
                 gen, timer = self._stats_gen, self.timer
-            imgs = np.stack([im for im, _, _, _ in items])
             pad = self.batch - len(items)
-            if pad:  # fixed compiled shape: pad the tail, decode rows discarded
-                imgs = np.concatenate(
-                    [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
-                )
             failed = False
             try:
+                # batch assembly INSIDE the try: an allocation failure here
+                # (e.g. MemoryError under burst load on a small host) must
+                # fail these futures, not kill the only batcher thread and
+                # zombify the server
+                imgs = np.stack([im for im, _, _, _ in items])
+                if pad:  # fixed compiled shape: pad tail, decode rows dropped
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)]
+                    )
                 timer.start()
                 if self.decode == "sample":
                     temps = np.ones(self.batch, np.float32)
@@ -218,9 +214,10 @@ class DynamicBatcher:
                         seed=self.sample_seed + self._batch_seq,
                     )
                 else:
-                    seqs, lengths = self.pipeline.predict_batch(
-                        imgs, beam_n=self.beam_n
-                    )
+                    # beam width comes from the pipeline's own config
+                    # (--beam_search_n); exported artifacts pin it at trace
+                    # time and reject overrides
+                    seqs, lengths = self.pipeline.predict_batch(imgs)
                 timer.stop()
                 for i, (_, _, _, fut) in enumerate(items):
                     if not fut.done():  # close() may have failed it already
@@ -423,7 +420,7 @@ def make_server(cfg: Config, host: str = "127.0.0.1", port: int = 8500,
                          "exported with `export.py --sample` (this artifact "
                          "carries only the beam-search program)")
     if pipeline is None:
-        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        max_seq_len = load_max_seq_len(cfg.additional_filename)
         pipeline = Pipeline(
             cfg.tokenizer_filename, cfg.transformer_checkpoint_path,
             max_seq_len, cfg,

@@ -13,12 +13,12 @@ import os
 import sys
 
 from fpn_mt_image_captioning_tpu.config import Config
-from fpn_mt_image_captioning_tpu.data.dataset import load_additional_info, load_image
+from fpn_mt_image_captioning_tpu.data.dataset import load_image, load_max_seq_len
 from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 
 
 def main(cfg: Config, image_file_path: str) -> list[dict]:
-    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    max_seq_len = load_max_seq_len(cfg.additional_filename)
     master = Pipeline(
         cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
     )

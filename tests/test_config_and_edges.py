@@ -205,6 +205,35 @@ def test_additional_info_roundtrip(tmp_path):
     assert load_additional_info(path) == {"max_seq_len": 42, "mt_epoch_x": 7}
 
 
+def test_additional_info_clear_failures(tmp_path):
+    """Serving entry points need max_seq_len before anything else — the
+    failure must name the actual cause (missing vs corrupt file), not
+    surface later as a bare KeyError from an ``{}`` fallback."""
+    import pytest
+
+    from fpn_mt_image_captioning_tpu.data.dataset import (
+        load_additional_info,
+        load_max_seq_len,
+        store_additional_info,
+    )
+
+    missing = str(tmp_path / "nope.json")
+    with pytest.raises(FileNotFoundError, match="max_seq_len"):
+        load_max_seq_len(missing)
+
+    corrupt = str(tmp_path / "bad.json")
+    with open(corrupt, "w") as f:
+        f.write('{"max_seq_len": 4')  # truncated write
+    with pytest.raises(ValueError, match="corrupt"):
+        load_additional_info(corrupt)
+    with pytest.raises(ValueError, match="corrupt"):
+        load_max_seq_len(corrupt)
+
+    ok = str(tmp_path / "ok.json")
+    store_additional_info({"max_seq_len": 42}, ok)
+    assert load_max_seq_len(ok) == 42
+
+
 def test_converter_output_bytes(tmp_path):
     """Pins the COCO wire format byte-for-byte: key order, id numbering from
     1000, license ids from 1, caption = impression + ' ' + findings, info block

@@ -25,11 +25,11 @@ def corpus(tmp_path_factory):
     return paths
 
 
-def _batches(paths, cache_path=None, seed=3):
+def _batches(paths, cache_path=None, seed=3, as_uint8=False):
     caps = np.arange(len(paths) * 4, dtype=np.int32).reshape(len(paths), 4)
     ds = CocoCaptionDataset(
         paths, caps, batch_size=3, image_size=IMG, seed=seed,
-        cache_path=cache_path,
+        cache_path=cache_path, as_uint8=as_uint8,
     )
     return list(ds)
 
@@ -44,6 +44,20 @@ def test_cached_batches_match_decoded(corpus, tmp_path):
         # uint8 quantization bound: exact vs the PIL path, <= half a quantum
         # vs the native loader's float-precision resize
         np.testing.assert_allclose(ai, bi, atol=0.5 / 127.5 + 1e-6)
+
+
+def test_cached_uint8_batches_exact(corpus, tmp_path):
+    """The uint8 feed (the live training default — get_coco_images_dataset
+    sets as_uint8=True so the model normalizes on-device): cached epochs must
+    return the stored bytes EXACTLY (both paths quantize with the same
+    rint((x+1)·127.5) formula), with no float inflation pass."""
+    plain = _batches(corpus, as_uint8=True)
+    cached = _batches(corpus, cache_path=str(tmp_path / "dc8"), as_uint8=True)
+    assert len(plain) == len(cached)
+    for (ai, ac), (bi, bc) in zip(plain, cached):
+        np.testing.assert_array_equal(ac, bc)
+        assert ai.dtype == np.uint8 and bi.dtype == np.uint8
+        np.testing.assert_array_equal(ai, bi)
 
 
 def test_cache_reused_without_decoding(corpus, tmp_path, monkeypatch):

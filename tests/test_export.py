@@ -311,17 +311,47 @@ def test_serve_from_artifact(exported):
         srv.batcher.close()  # not srv.close(): the pipeline fixture is shared
 
 
+def test_pre_uint8_artifact_normalizes_host_side(exported):
+    """A pre-round-5 artifact (no uint8 twin programs) fed raw uint8 must
+    normalize HOST-side onto its float program — a bare float cast would ship
+    0..255 into a program traced for [-1, 1] and silently emit garbage
+    captions, breaking the Pipeline duck-type (the live Pipeline accepts raw
+    uint8 everywhere)."""
+    _, served, _, _ = exported
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (2, IMG, IMG, 3), dtype=np.uint8)
+    as_float = u8.astype(np.float32) / 127.5 - 1.0
+
+    orig = served.accepts_uint8
+    try:
+        served.accepts_uint8 = False  # simulate a float-only artifact
+        s_u8, l_u8 = served.predict_batch(u8)
+    finally:
+        served.accepts_uint8 = orig
+    s_f, l_f = served.predict_batch(as_float)
+    np.testing.assert_array_equal(l_u8, l_f)
+    np.testing.assert_array_equal(s_u8, s_f)
+
+
 def test_fold_chunk_seed_properties():
     """Chunk 0 preserves the seed (single-chunk bit-equality with the live
-    pipeline); consecutive per-batch seeds (serve.py's batcher) can never
-    reuse a chunk key across batches (the old ``seed + chunk`` fold collided:
-    batch N chunk 1 == batch N+1 chunk 0); values stay int32-safe for the
-    exported scalar-seed input."""
+    pipeline); later chunks avalanche (seed, chunk), so key reuse between
+    consecutive per-batch seeds (serve.py's batcher) and any chunk index has
+    no STRUCTURED collision class — both earlier linear folds had one
+    (``seed + chunk``: batch N chunk 1 == batch N+1 chunk 0;
+    ``+ chunk·1_000_003``: same collision at batch N+1_000_003); values stay
+    int32-safe for the exported scalar-seed input."""
     from fpn_mt_image_captioning_tpu.export import fold_chunk_seed
 
     assert fold_chunk_seed(5, 0) == 5
     seen = {fold_chunk_seed(s, c) for s in range(64) for c in range(8)}
     assert len(seen) == 64 * 8
+    # the linear-fold collision classes must be gone
+    for stride in (1, 1_000_003):
+        assert all(
+            fold_chunk_seed(n, 1) != fold_chunk_seed(n + stride, 0)
+            for n in range(0, 2000, 97)
+        )
     for seed in (0, -7, 2**31 - 1, -(2**31)):
         for chunk in (0, 1, 9999):
             v = fold_chunk_seed(seed, chunk)

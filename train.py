@@ -25,6 +25,7 @@ from fpn_mt_image_captioning_tpu.data.dataset import (
     COCO_Images_ImageID,
     get_coco_images_dataset,
     load_additional_info,
+    load_max_seq_len,
     store_additional_info,
 )
 from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
@@ -220,7 +221,7 @@ def main(cfg: Config) -> None:
         writer.close()
         jsonl.close()
     else:
-        max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+        max_seq_len = load_max_seq_len(cfg.additional_filename)
         master = Pipeline(
             cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len, cfg
         )
