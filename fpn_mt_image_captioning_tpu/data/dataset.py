@@ -505,6 +505,12 @@ class COCO_Images_ImageID:
         anns = self.coco.loadAnns(self.coco.getAnnIds())
         anns = [a for a in anns if a["caption"] != " "]
         self.imgIds = [a["image_id"] for a in anns]
+        if shard_count > 1 and seed is None:
+            # sharded multi-host eval: every process MUST shuffle the same
+            # permutation before taking its strided slice — per-process OS
+            # entropy would make the shards overlap/miss images and the
+            # allgathered metric corpus silently wrong
+            seed = 0
         rng = Random(seed)
         rng.shuffle(self.imgIds)
 

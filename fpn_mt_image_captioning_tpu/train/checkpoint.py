@@ -63,7 +63,11 @@ class CheckpointManager:
             if not (hasattr(state_template, "_fields")
                     and "opt_state" in state_template._fields):
                 raise
-            raw = self._mgr.restore(step)  # raw nested dicts, no template
+            # raw nested dicts, no template. This also materializes the
+            # obsolete opt_state we are about to discard (~2× params of dead
+            # I/O) — acceptable on this migrate-once path; a field-subset
+            # Orbax restore could trim it if migration ever becomes routine.
+            raw = self._mgr.restore(step)
             ts = jax.tree_util.tree_structure
             restored = {}
             for f in state_template._fields:
@@ -76,16 +80,28 @@ class CheckpointManager:
                         f"not match the live model — not a plain optimizer-"
                         f"format drift, refusing partial restore"
                     ) from exact_err
+                def _mismatch(a, b):
+                    if np.shape(a) != np.shape(b):
+                        return True
+                    # dtype too (when both carry one): a same-shape
+                    # different-dtype leaf would otherwise restore silently
+                    # and surface as drifted numerics far from here
+                    da = getattr(a, "dtype", None)
+                    db = getattr(b, "dtype", None)
+                    return da is not None and db is not None and da != db
+
                 bad = [
-                    (getattr(a, "shape", None), getattr(b, "shape", None))
+                    (getattr(a, "shape", None), getattr(b, "shape", None),
+                     str(getattr(a, "dtype", "?")),
+                     str(getattr(b, "dtype", "?")))
                     for a, b in zip(jax.tree_util.tree_leaves(raw[f]),
                                     jax.tree_util.tree_leaves(tmpl_field))
-                    if np.shape(a) != np.shape(b)
+                    if _mismatch(a, b)
                 ]
                 if bad:
                     raise ValueError(
-                        f"checkpoint step {step}: field {f!r} leaf shapes "
-                        f"differ from the live model: {bad[:3]}"
+                        f"checkpoint step {step}: field {f!r} leaf "
+                        f"shapes/dtypes differ from the live model: {bad[:3]}"
                     ) from exact_err
                 restored[f] = raw[f]
             print(
@@ -111,12 +127,22 @@ class SmartCheckpointSaver:
                  min_epoch_to_break: int | None = None, gap_of_dead_epoch: int = 25):
         self.ckpt_manager = ckpt_manager
         self.epochs = epochs
+        # None → epochs // 2: the same rule Config.min_epoch_to_break
+        # defaults to (config.py) — keep the two in lockstep
         self.min_epoch_to_break = (
             epochs // 2 if min_epoch_to_break is None else min_epoch_to_break
         )
         self.gap_of_dead_epoch = gap_of_dead_epoch
         self.max_val_acc = -np.inf
         self.max_acc_epoch = 0
+        # the step holding the best metric among checkpoints ACTUALLY saved —
+        # distinct from max_acc_epoch, which the reference state machine also
+        # moves on its early-epoch baseline *resets* (no save), so a
+        # post-reset save can sit at a higher step with a worse metric;
+        # restoring "latest" there exports the worse weights (train.py uses
+        # this to restore the true best)
+        self.best_saved_step: int | None = None
+        self.best_saved_acc = -np.inf
 
     def __call__(self, curr_epoch: int, curr_val_acc: float, state: Any = None) -> int:
         """Returns 1 = checkpoint saved, 0 = nothing, -1 = early-stop signal."""
@@ -128,6 +154,9 @@ class SmartCheckpointSaver:
             if state is not None:
                 self.ckpt_manager.save(curr_epoch, state)
                 print(f"Saving checkpoint for epoch {curr_epoch} at {self.ckpt_manager.directory}")
+                if curr_val_acc > self.best_saved_acc:
+                    self.best_saved_acc = curr_val_acc
+                    self.best_saved_step = curr_epoch
             self.max_val_acc = curr_val_acc
             self.max_acc_epoch = curr_epoch
             return 1

@@ -158,11 +158,28 @@ def main() -> None:
     from fpn_mt_image_captioning_tpu.train.pipeline import Pipeline
 
     eval_cfg = dataclasses.replace(cfg, is_training=False, beam_search_n=8)
-    max_seq_len = load_additional_info(cfg.additional_filename)["max_seq_len"]
+    additional = load_additional_info(cfg.additional_filename)
+    max_seq_len = additional["max_seq_len"]
+    best_epoch = additional.get(
+        "mt_epoch_" + os.path.basename(cfg.transformer_checkpoint_path)
+    )
     master = Pipeline(
         cfg.tokenizer_filename, cfg.transformer_checkpoint_path, max_seq_len,
         eval_cfg,
     )
+    # The artifact's claim is "the BEST checkpoint evaluated at beam 8":
+    # Pipeline.__init__ restores the LATEST step (which the saver's
+    # baseline-reset path can make a worse one), and a run that never saved
+    # any checkpoint would silently evaluate random-init weights here.
+    steps = master.ckpt_manager.all_steps()
+    if not steps:
+        raise RuntimeError(
+            "convergence run produced NO checkpoint (CIDEr never improved) — "
+            "refusing to commit a random-init evaluation as evidence"
+        )
+    if best_epoch in steps:
+        restored = master.ckpt_manager.restore(master.state, step=best_epoch)
+        master.state = type(master.state)(*restored)
     try:
         val_iter = COCO_Images_ImageID(
             cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
@@ -178,10 +195,6 @@ def main() -> None:
     finally:
         master.close()
 
-    additional = load_additional_info(cfg.additional_filename)
-    best_epoch = additional.get(
-        "mt_epoch_" + os.path.basename(cfg.transformer_checkpoint_path)
-    )
     full_metrics = {
         "protocol": (
             "best checkpoint, val split, beam_search_n=8 — the reference "

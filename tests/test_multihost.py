@@ -76,6 +76,29 @@ def test_pad_batch_pads_to_local_share(monkeypatch):
     assert not arr[9:].any()
 
 
+def test_sharded_val_iterator_defaults_to_shared_seed(tmp_path):
+    """Sharded (multi-host) val iterators with seed=None must still agree on
+    ONE shuffled permutation before slicing — per-process OS entropy made the
+    strided shards overlap/miss images, silently corrupting the allgathered
+    metric corpus that gates checkpointing."""
+    from fixtures import make_synthetic_dataset
+    from fpn_mt_image_captioning_tpu.data.dataset import COCO_Images_ImageID
+
+    datadir = make_synthetic_dataset(str(tmp_path / "d"), n_train=2, n_val=9,
+                                     image_size=64)
+    shards = [
+        COCO_Images_ImageID("%s" % datadir, "val2017", None, image_size=64,
+                            shard_count=2, shard_index=i).imgIds
+        for i in (0, 1)
+    ]
+    full = COCO_Images_ImageID(datadir, "val2017", None, image_size=64,
+                               seed=0).imgIds
+    assert not set(shards[0]) & set(shards[1])          # disjoint
+    assert sorted(shards[0] + shards[1]) == sorted(full)  # complete
+    # and the default sharded permutation IS the seed-0 permutation
+    assert shards[0] == full[0::2] and shards[1] == full[1::2]
+
+
 def test_coordinator_env_is_detected(monkeypatch):
     """With a coordinator declared, process_shard consults the runtime (which
     reports one process here) instead of short-circuiting."""

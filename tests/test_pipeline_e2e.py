@@ -258,6 +258,36 @@ def test_smart_saver_early_stop_semantics():
     assert s(85, 0.5) == -1
 
 
+def test_smart_saver_tracks_best_saved_step():
+    """The early-epoch baseline RESET lets a later save carry a worse metric
+    at a higher step — restoring 'latest' there would export the worse
+    weights. best_saved_step must keep pointing at the true best save
+    (train.py's final restore and convergence_run's beam-8 eval use it)."""
+    from fpn_mt_image_captioning_tpu.train.checkpoint import SmartCheckpointSaver
+
+    saved = []
+
+    class Mgr:
+        directory = "/tmp/x"
+
+        def save(self, step, state):
+            saved.append(step)
+
+    s = SmartCheckpointSaver(Mgr(), epochs=100, min_epoch_to_break=50,
+                             gap_of_dead_epoch=25)
+    state = object()
+    assert s(1, 0.1, state) == 0        # baseline only — nothing saved
+    assert s.best_saved_step is None
+    assert s(15, 0.7, state) == 1       # best save
+    assert s(20, 0.4, state) == 0       # early regime: baseline resets DOWN
+    assert s(25, 0.5, state) == 1       # saves (beats the reset baseline)...
+    assert saved == [15, 25]
+    # ...but the true best remains step 15
+    assert s.best_saved_step == 15 and s.best_saved_acc == 0.7
+    assert s(30, 0.9, state) == 1       # a genuine new best moves it
+    assert s.best_saved_step == 30
+
+
 def test_convert_dataset_roundtrip(tmp_path):
     from fpn_mt_image_captioning_tpu.data.convert import convert_store_to_coco_val_train
     from fpn_mt_image_captioning_tpu.data.coco import COCO

@@ -49,6 +49,10 @@ def main(cfg: Config) -> None:
     val_datasets = COCO_Images_ImageID(
         cfg.datadir, cfg.datatype_val, cfg.n_val_dataset,
         image_size=cfg.image_input_size,
+        # fixed seed: all processes must agree on the shuffled order their
+        # strided shards slice (the class defaults sharded runs to seed 0;
+        # pinning cfg.seed here also makes single-host eval reproducible)
+        seed=cfg.seed,
         shard_count=shard_count, shard_index=shard_index,
     )
     additional_info = load_additional_info(cfg.additional_filename)
@@ -63,7 +67,10 @@ def main(cfg: Config) -> None:
         )
 
         additional_info["max_seq_len"] = max_seq_len
-        store_additional_info(additional_info, cfg.additional_filename)
+        if is_primary():  # one writer on a shared FS: N concurrent
+            # truncate-and-write racers can tear the JSON, and a corrupt
+            # additional-info file bricks every later resume/serve/export
+            store_additional_info(additional_info, cfg.additional_filename)
 
         current_time = datetime.now().strftime("%Y%m%d-%H%M%S")
         log_dir = f"logs/transformer/{current_time}/train"
@@ -187,17 +194,35 @@ def main(cfg: Config) -> None:
                             break
                         elif should_break == 1:
                             additional_info[key_epoch] = master.smart_ckpt_saver.max_acc_epoch
-                            store_additional_info(additional_info, cfg.additional_filename)
+                            if is_primary():  # single writer (see above)
+                                store_additional_info(
+                                    additional_info, cfg.additional_filename
+                                )
                 print()
         finally:
             if tracer is not None:
                 tracer.close()
 
-        print(f"Saving Transformer weights for epoch {master.smart_ckpt_saver.max_acc_epoch}")
-        restored = master.ckpt_manager.restore(master.state)
+        # restore the step with the BEST CIDEr among the epochs actually
+        # saved — the latest checkpoint can be a worse one (the saver's
+        # early-epoch baseline reset allows a post-reset save below the
+        # historical best), and with no step argument Orbax restores latest
+        best_step = master.smart_ckpt_saver.best_saved_step
+        if best_step is None and master.ckpt_manager.latest_step is None:
+            print("WARNING: no CIDEr-improving checkpoint was ever saved — "
+                  "exporting the FINAL-epoch weights, not a validated best")
+        else:
+            print("Saving Transformer weights for epoch "
+                  f"{master.smart_ckpt_saver.max_acc_epoch}")
+        restored = master.ckpt_manager.restore(master.state, step=best_step)
         if restored is not None:
             master.state = type(master.state)(*restored)
-        master.save_weights(cfg.transformer_weight_path)
+        if is_primary():
+            # one writer (shared-FS race, as with the JSON sidecars). NOTE:
+            # a model-parallel mesh spanning processes cannot serialize from
+            # one host — export from a mesh-free twin of the checkpoint, the
+            # same policy export_serving documents
+            master.save_weights(cfg.transformer_weight_path)
         if cfg.export_artifact_dir and is_primary():
             from fpn_mt_image_captioning_tpu.export import export_serving
 
