@@ -46,9 +46,46 @@ import jax.numpy as jnp
 
 from ..models.transformer import Transformer
 
-__all__ = ["beam_search", "greedy_decode", "strip_sequence", "cast_for_inference"]
+__all__ = ["beam_search", "greedy_decode", "sample_decode", "strip_sequence",
+           "cast_for_inference"]
 
 NEG_INF = -1.0e9
+
+
+def _nucleus_keep(probs, top_p):
+    """Nucleus (top-p) keep-mask: the smallest prefix of the descending-prob
+    ordering whose mass reaches ``top_p`` (the top token always survives).
+
+    POSITIONAL, scattered back through the sort order — a value-based prob
+    cutoff would keep every token TIED with the boundary probability,
+    overshooting the requested mass (probs [.5, .25, .25] at top_p 0.6 kept
+    all three). top_p is clamped below like temperature: at top_p <= 0 an
+    unclamped threshold keeps NOTHING (0 < 0 is False) and masking all
+    logits would degrade to uniform sampling over the whole vocab."""
+    order = jnp.argsort(probs, axis=-1)[:, ::-1]  # descending
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (csum - sorted_probs) < jnp.maximum(
+        top_p[:, None], 1e-9
+    )  # mass BEFORE each position
+    return jnp.zeros(probs.shape, bool).at[
+        jnp.arange(probs.shape[0])[:, None], order
+    ].set(keep_sorted)
+
+
+def _strip_ended(seqs, t, end_token: int):
+    """Replace everything from the first ``<end>`` on with pad (0) and return
+    ``(stripped, lengths)`` — lengths = the ``<end>`` position, or ``t`` for
+    rows that never finished. Shared by the beam epilogue and sample_decode
+    so the stop/strip return contract can't silently fork."""
+    is_end = seqs == end_token
+    ended = jnp.any(is_end, axis=1)
+    end_pos = jnp.argmax(is_end, axis=1)
+    idx = jnp.arange(seqs.shape[1])[None, :]
+    keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
+    stripped = jnp.where(keep, seqs, 0)
+    lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
+    return stripped, lengths
 
 
 def cast_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
@@ -106,6 +143,13 @@ def beam_search(
         from ..models.positional import raw_positional_encoding
 
         params = variables["params"]
+        # NOTE: packing runs inside the jitted body, i.e. once per
+        # invocation — a deliberate tradeoff: the transpose/concat/cast
+        # traffic is tens of MB at HBM bandwidth (sub-ms, amortized over 60
+        # decode steps), and hoisting it would change beam_search's public
+        # signature (pre-packed tables as arguments) for every caller and
+        # exported artifact. Revisit only if batch-1 latency becomes the
+        # binding target.
         packed = pack_decoder_weights(params, model.num_layers, dtype=pack_dtype)
         cache = init_fused_cache(packed, enc_output, beam_n, max_len)
         lpad = cache["k_self"].shape[1]
@@ -263,12 +307,7 @@ def beam_search(
         return stripped, lengths, final_score
 
     # strip trailing <end> (replace with pad) and compute lengths
-    is_end = best_seq == end_token
-    ended = jnp.any(is_end, axis=1)
-    end_pos = jnp.argmax(is_end, axis=1)
-    keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
-    stripped = jnp.where(keep, best_seq, 0)
-    lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
+    stripped, lengths = _strip_ended(best_seq, t, end_token)
     return stripped, lengths, best_score
 
 
@@ -353,23 +392,8 @@ def sample_decode(
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, NEG_INF, logits)
         if top_p is not None:
-            # nucleus: keep the smallest prefix of the descending-prob ordering
-            # whose mass reaches top_p (the first token always survives)
-            probs = jax.nn.softmax(logits, axis=-1)
-            sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-            csum = jnp.cumsum(sorted_probs, axis=-1)
-            # clamp like temperature: at top_p<=0 an unclamped threshold keeps
-            # NOTHING (0 < 0 is False) and masking all logits would degrade to
-            # uniform sampling over the whole vocab; any positive threshold
-            # keeps at least the top token (its mass-before is exactly 0)
-            keep_sorted = (csum - sorted_probs) < jnp.maximum(
-                top_p[:, None], 1e-9
-            )  # mass BEFORE it
-            # per-row prob cutoff = smallest kept sorted prob
-            cutoff = jnp.min(
-                jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
-            )
-            logits = jnp.where(probs < cutoff, NEG_INF, logits)
+            keep = _nucleus_keep(jax.nn.softmax(logits, axis=-1), top_p)
+            logits = jnp.where(keep, logits, NEG_INF)
 
         new_tokens = jax.random.categorical(jax.random.fold_in(rng, t), logits)
         new_tokens = jnp.where(finished, 0, new_tokens.astype(jnp.int32))
@@ -380,14 +404,7 @@ def sample_decode(
     carry = (jnp.int32(0), tokens, cache, seqs, finished)
     t, _, _, seqs, _ = jax.lax.while_loop(cond, body, carry)
 
-    is_end = seqs == end_token
-    ended = jnp.any(is_end, axis=1)
-    end_pos = jnp.argmax(is_end, axis=1)
-    idx = jnp.arange(seqs.shape[1])[None, :]
-    keep = jnp.where(ended[:, None], idx < end_pos[:, None], idx < t)
-    stripped = jnp.where(keep, seqs, 0)
-    lengths = jnp.where(ended, end_pos, t).astype(jnp.int32)
-    return stripped, lengths
+    return _strip_ended(seqs, t, end_token)
 
 
 def strip_sequence(tokens, end_token: int) -> list[int]:

@@ -72,6 +72,11 @@ def param_spec(path: str, leaf=None, tp: bool = True, mesh: Mesh | None = None) 
         for pattern, spec in _TP_RULES:
             if re.match(pattern, path):
                 if mesh is not None and "model" not in mesh.axis_names:
+                    if len(mesh.axis_names) < 2:
+                        # data-only mesh (no second axis to shard params
+                        # over): replicate instead of IndexError-ing on the
+                        # positional rename below
+                        return P()
                     # MeshConfig.model_axis is configurable; the rules above
                     # are written against the canonical name. make_mesh always
                     # builds (data, model) axis order, so rename positionally.

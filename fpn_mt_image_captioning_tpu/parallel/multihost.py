@@ -131,8 +131,23 @@ def _single_process() -> bool:
     """True when no multi-process launch is declared. Checked WITHOUT touching
     the JAX backend: the data layer calls ``process_shard`` and must stay
     backend-free on single-host runs (initializing the tunneled TPU backend
-    costs ~80 s and pure data jobs never need a device)."""
-    return not _initialized and not any(os.environ.get(k) for k in _COORD_ENV)
+    costs ~80 s and pure data jobs never need a device).
+
+    Besides our own ``maybe_initialize`` and the coordinator env vars, this
+    also recognizes an EXTERNALLY-initialized ``jax.distributed`` runtime
+    (standard pod launchers call ``jax.distributed.initialize()`` directly):
+    missing that case split the module into an incoherent half-multi-process
+    state — collectives compiled multi-process while ``barrier()`` no-opped
+    (losing the Gloo compile-alignment), ``process_shard`` fed every host
+    the FULL dataset, and ``is_primary`` made every process a writer."""
+    if _initialized or any(os.environ.get(k) for k in _COORD_ENV):
+        return False
+    try:  # backend-free: the distributed client exists independently of it
+        from jax._src import distributed as _jd
+
+        return _jd.global_state.client is None
+    except Exception:  # private-API drift: fall back to the declared signals
+        return True
 
 
 def process_shard() -> tuple[int, int]:
@@ -193,8 +208,14 @@ def gather_rows(local_rows: np.ndarray) -> np.ndarray:
     64-bit dtypes (image ids are int64) survive even with ``jax_enable_x64``
     off: ``process_allgather`` round-trips through ``jnp.asarray``, which
     would silently truncate int64→int32 / float64→float32 — instead the rows
-    are gathered as uint32 halves and re-viewed, bit-exact."""
+    are gathered as uint32 halves and re-viewed, bit-exact.
+
+    0-d input is promoted to one row, so sharing a scalar (the CIDEr gate
+    pattern) returns shape ``(process_count,)`` — the naive path used to
+    crash reshaping the gathered uint32 halves back around a () shape."""
     arr = np.asarray(local_rows)
+    if arr.ndim == 0:
+        arr = arr[None]
     if jax.process_count() == 1:
         return arr
     if arr.dtype.itemsize == 8 and not jax.config.jax_enable_x64:

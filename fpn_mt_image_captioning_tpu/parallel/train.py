@@ -38,7 +38,8 @@ def state_shardings(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainStat
     p_shard = param_shardings(mesh, state.params, tp=tp)
     rep = replicated(mesh)
 
-    # Optimizer state embeds param-shaped trees (amsgrad mu/nu/nu_max) whose leaf
+    # Optimizer state embeds param-shaped trees (KerasAdamState m/v/vhat,
+    # train/schedule.py — was optax amsgrad mu/nu/nu_max before r4) whose leaf
     # paths end with the param path, so the same TP rules apply; scalars (count)
     # are replicated.
     def opt_shard(path, leaf):

@@ -309,6 +309,28 @@ def test_sample_decode_zero_temperature_is_greedy(small_model):
         np.testing.assert_array_equal(np.asarray(s_seqs), np.asarray(g_seqs), kwargs)
 
 
+def test_nucleus_keep_mask_is_positional():
+    """The top-p mask must keep EXACTLY the smallest descending-prob prefix
+    reaching the mass — a value-based prob cutoff kept every token tied with
+    the boundary probability, overshooting the requested nucleus (probs
+    [.5,.25,.25] at top_p 0.6 kept all three)."""
+    import jax.numpy as jnp
+
+    from fpn_mt_image_captioning_tpu.decode.beam_search import _nucleus_keep
+
+    probs = jnp.asarray([
+        [0.5, 0.25, 0.25, 0.0],   # tie at the boundary: keep exactly 2
+        [0.25, 0.25, 0.25, 0.25], # all tied: 0.6 mass -> 3 tokens
+        [0.97, 0.01, 0.01, 0.01], # peaked: top token alone
+    ])
+    keep = np.asarray(_nucleus_keep(probs, jnp.asarray([0.6, 0.6, 0.6])))
+    assert keep.sum(axis=1).tolist() == [2, 3, 1]
+    assert keep[0, 0] and keep[2, 0]          # the top token always survives
+    # top_p <= 0 clamps to keep the single top token (not uniform-everything)
+    keep0 = np.asarray(_nucleus_keep(probs, jnp.asarray([0.0, 0.0, 0.0])))
+    assert keep0.sum(axis=1).tolist() == [1, 1, 1]
+
+
 def test_sample_decode_deterministic_per_seed(small_model):
     from fpn_mt_image_captioning_tpu.decode.beam_search import sample_decode
 

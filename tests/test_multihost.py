@@ -51,6 +51,33 @@ def test_gather_rows_identity():
     out = multihost.gather_rows(ids)
     assert out.dtype == np.int64
     np.testing.assert_array_equal(out, ids)
+    # 0-d scalars promote to one row — shape (process_count,) semantics (the
+    # CIDEr-gate pattern); the int64 uint32-halves path used to crash
+    # reshaping around a () shape multi-process
+    out = multihost.gather_rows(np.int64(2**40))
+    assert out.shape == (1,) and out.dtype == np.int64 and out[0] == 2**40
+
+
+def test_externally_initialized_distributed_is_multiprocess(monkeypatch):
+    """A launcher that calls jax.distributed.initialize() DIRECTLY (standard
+    pod practice — no coordinator env vars, not via maybe_initialize) must
+    flip the whole module to multi-process: a half state where collectives
+    run multi-process but barrier() no-ops / process_shard() returns (0,1) /
+    is_primary() is True everywhere loses the Gloo compile-alignment,
+    duplicates the dataset on every host, and races the artifact writers."""
+    import jax
+    from jax._src import distributed as jd
+
+    for k in multihost._COORD_ENV:
+        monkeypatch.delenv(k, raising=False)
+    assert multihost._single_process() is True  # no external runtime
+
+    monkeypatch.setattr(jd.global_state, "client", object())
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert multihost._single_process() is False
+    assert multihost.process_shard() == (2, 4)
+    assert multihost.is_primary() is False
 
 
 def test_pad_batch_pads_to_local_share(monkeypatch):

@@ -19,6 +19,17 @@ def test_make_mesh_shapes():
         make_mesh(MeshConfig(data_axis_size=3, model_axis_size=2))
 
 
+def test_param_spec_data_only_mesh_replicates():
+    """A 1-axis (data-only) mesh has no model axis to shard params over: the
+    rename path must fall back to replication, not IndexError on
+    axis_names[1] (tests/test_multihost.py builds exactly such meshes)."""
+    import jax
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    leaf = np.zeros((8, 16), np.float32)
+    assert param_spec("decoder/layer_0/mha1/wq/kernel", leaf, True, mesh) == P()
+
+
 def test_tp_partition_rules():
     assert param_spec("decoder/layer_0/mha1/wq/kernel") == P(None, "model")
     assert param_spec("decoder/layer_0/mha1/out/kernel") == P("model", None)
